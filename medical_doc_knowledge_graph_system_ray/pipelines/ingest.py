@@ -99,7 +99,9 @@ class IngestPipeline:
                     ExtractorActor,
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
-                    concurrency=cfg.extract_concurrency,
+                    # autoscaling pool: a fixed pool sized to the whole node
+                    # starves the read stage and deadlocks small clusters
+                    concurrency=(1, cfg.extract_concurrency),
                 )
             )
             ds.write_parquet(tmp_dir)
@@ -176,7 +178,7 @@ class IngestPipeline:
         self._write_stage(
             "mentions",
             lambda: self._extraction_ds().map_batches(
-                RemapMentions, batch_format="pyarrow", concurrency=4
+                RemapMentions, batch_format="pyarrow", concurrency=(1, 4)
             ),
             "chunk_id", ["order_key"], MENTIONS_SCHEMA_FINAL, "mentions",
             finalize_fn=_props_json_to_map,
@@ -205,7 +207,7 @@ class IngestPipeline:
             "triples",
             lambda: (
                 self._extraction_ds()
-                .map_batches(RemapTriples, batch_format="pyarrow", concurrency=4)
+                .map_batches(RemapTriples, batch_format="pyarrow", concurrency=(1, 4))
                 .groupby(["subj", "pred", "obj"])
                 .map_groups(mat.triple_reduce_group, batch_format="pyarrow")
             ),

@@ -1,0 +1,115 @@
+"""Text-analysis operators over a generic documents table
+(doc_id, text, ...): language id, quality scoring, token counting,
+fingerprinting. First-class training-data-pipeline stages (brief §extra);
+each has a queries() entry with a DuckDB oracle where SQL can express it.
+
+All vectorized per batch (pandas string kernels / numpy); the stateful
+variants (compiled regexes, stopword tables) are callable classes for
+actor pools.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import rolling_fingerprint, simhash64
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "for", "on", "with"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "por", "con", "los"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "du", "en"},
+    "de": {"der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"},
+}
+
+_WORD_RE = re.compile(r"[A-Za-z]+")
+
+
+class LangId:
+    """Stopword-profile language guesser (n-gram heuristic stand-in)."""
+
+    def __init__(self):
+        self.profiles = _LANG_PROFILES
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        langs = []
+        for text in batch["text"]:
+            words = set(_WORD_RE.findall(text.lower())[:200])
+            best, best_hits = "unknown", 0
+            for lang, stops in self.profiles.items():
+                hits = len(words & stops)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            langs.append(best)
+        batch["lang_pred"] = langs
+        return batch
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace token count + a BPE-ish subword estimate (regex pieces)."""
+    import pyarrow.compute as pc
+
+    texts = batch.column("text")
+    ws = pc.list_value_length(pc.split_pattern_regex(texts, r"\s+"))
+    piece_re = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+    pieces = pa.array([len(piece_re.findall(t)) for t in texts.to_pylist()],
+                      type=pa.int64())
+    return batch.append_column("n_tokens", ws.cast(pa.int64())).append_column(
+        "n_pieces", pieces
+    )
+
+
+def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
+    """Length / punctuation / stopword-ratio quality features + blended score."""
+    texts = batch["text"]
+    n_chars = texts.str.len().astype("int64")
+    tokens = texts.str.split()
+    n_tokens = tokens.str.len().fillna(0).astype("int64")
+    mean_tok_len = (texts.str.replace(r"\s+", "", regex=True).str.len() /
+                    n_tokens.clip(lower=1))
+    punct_ratio = texts.str.count(r"[^\w\s]") / n_chars.clip(lower=1)
+    stop = _LANG_PROFILES["en"]
+    stop_ratio = tokens.map(
+        lambda ws: sum(w.lower() in stop for w in ws) / max(len(ws), 1)
+        if isinstance(ws, list) else 0.0
+    )
+    score = (
+        np.clip(n_tokens / 100.0, 0, 1) * 0.4
+        + np.clip(1.0 - punct_ratio * 4.0, 0, 1) * 0.3
+        + np.clip(stop_ratio * 5.0, 0, 1) * 0.3
+    )
+    out = batch.copy()
+    out["n_chars_q"] = n_chars
+    out["n_tokens"] = n_tokens
+    out["mean_token_len"] = mean_tok_len.round(6)
+    out["punct_ratio"] = punct_ratio.round(6)
+    out["stopword_ratio"] = stop_ratio.astype(float).round(6)
+    out["quality_score"] = np.round(score.astype(float), 6)
+    return out
+
+
+class Fingerprinter:
+    """Rolling-hash (winnowing-style) document fingerprints + simhash."""
+
+    def __init__(self, window: int = 8, keep_mod: int = 16):
+        self.window = window
+        self.keep_mod = keep_mod
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        fps = [rolling_fingerprint(t, self.window, self.keep_mod) for t in texts]
+        sims = [simhash64(t.lower().split()) for t in texts]
+        return (
+            batch.append_column(
+                "fingerprint", pa.array(fps, type=pa.list_(pa.int64()))
+            )
+            .append_column("n_fingerprints",
+                           pa.array([len(f) for f in fps], type=pa.int64()))
+            .append_column("simhash",
+                           pa.array([s - (1 << 63) if s >= (1 << 63) else s for s in sims],
+                                    type=pa.int64()))
+        )

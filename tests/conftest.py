@@ -42,5 +42,5 @@ def small_corpus():
     from medical_doc_knowledge_graph_system_ray.config import PipelineConfig
     from medical_doc_knowledge_graph_system_ray.corpus import synthesize_corpus_table
 
-    cfg = PipelineConfig(num_shards=4, num_output_partitions=4)
+    cfg = PipelineConfig(num_shards=4, num_output_partitions=4, extract_concurrency=3)
     return synthesize_corpus_table(250, cfg), cfg
