@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init(...)`` itself BEFORE importing this module;
+nothing here (or in the library) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship knowledge-graph construction pipeline
+(chunk -> extract -> canonicalize -> materialize, SURVEY.md §7) over the
+synthesized interleaved-span corpus at the sf0.001 scale and returns the
+materialized triples. ``queries()`` exposes every implemented operator
+(SURVEY.md §2 + the training-data family); ``oracle_sql()`` pairs the
+SQL-expressible ones with DuckDB oracles over the pre-registered
+testdata views. KG-path queries are non-SQL (graph construction over a
+synthesized spans corpus); their gate is the reference-semantics oracle
+in tests/test_pipeline_e2e.py.
 """
 
 from __future__ import annotations
@@ -20,25 +21,20 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at the sf0.001 scale; returns the triples table."""
+    from medical_doc_knowledge_graph_system_ray.pipelines.queries import ensure_kg_output
+
+    pipe = ensure_kg_output("/root/testdata/sf0.001")
+    return pipe.read_table("triples")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from medical_doc_knowledge_graph_system_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from medical_doc_knowledge_graph_system_ray.pipelines.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

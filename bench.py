@@ -1,0 +1,135 @@
+"""Benchmark driver. Prints ONE JSON line:
+
+  {"metric": "e2e_ingest_seconds", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": <tag>, "num_cpus": N,
+   "triples": n, "triples_per_sec": r}
+
+Headline = the full knowledge-graph construction pipeline (chunk ->
+extract -> link -> canonicalize -> materialize, BASELINE.json metric)
+over the synthesized interleaved corpus sized for $GRAFT_SF_DIR. Corpus
+synthesis is input preparation and is cached/untimed; one untimed
+warm-up read precedes timing so the page cache is hot.
+
+--scaling: runs the same job in two fresh processes at RAY_GRAFT_CPUS=8
+and =32 on the SAME corpus and reports throughput at both plus
+  eff = (T_small / T_large) / (cpus_large / cpus_small)
+(the in-sandbox stand-in for the N vs 4N node criterion — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench corpus size per sf tag (patients; docs ~= 3.5x)
+BENCH_PATIENTS = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 12000}
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data as rd
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from medical_doc_knowledge_graph_system_ray.corpus import synthesize_corpus_parquet
+    from medical_doc_knowledge_graph_system_ray.pipelines.ingest import IngestPipeline
+    from medical_doc_knowledge_graph_system_ray.pipelines import queries as Q
+
+    tag = os.path.basename(os.path.normpath(SF_DIR))
+    n_patients = BENCH_PATIENTS.get(tag, 2000)
+    cfg = Q.kg_config(n_patients)
+
+    corpus_dir = f"/tmp/medkg_bench/corpus/{tag}-{n_patients}"
+    synthesize_corpus_parquet(n_patients, corpus_dir, cfg)
+
+    # warm the page cache (untimed)
+    rd.read_parquet(corpus_dir).count()
+
+    out_dir = f"/tmp/medkg_bench/out/{tag}-{n_patients}-{NUM_CPUS}"
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    pipe = IngestPipeline(corpus_dir, cfg, output_dir=out_dir)
+    summary = pipe.run()
+    e2e = time.time() - t0
+    timings["kg_e2e_ingest"] = round(e2e, 3)
+    triples = summary["triples"]
+
+    # secondary pipelines over the provided testdata tables
+    for name in ("exact_dedup_docs", "minhash_dedup_docs", "embedding_topk",
+                 "lineitem_pricing_summary", "events_hourly", "doc_token_counts"):
+        t0 = time.time()
+        Q.QUERIES[name](SF_DIR)
+        timings[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "e2e_ingest_seconds",
+        "value": round(e2e, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": tag,
+        "num_cpus": NUM_CPUS,
+        "n_docs": rowcount_hint(corpus_dir),
+        "triples": triples,
+        "triples_per_sec": round(triples / e2e, 2),
+    }
+
+
+def rowcount_hint(corpus_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _d, files in os.walk(corpus_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = one(lo_cpus)
+    hi = one(hi_cpus)
+    eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "triples_per_sec_8": lo["triples_per_sec"],
+        "triples_per_sec_32": hi["triples_per_sec"],
+        "sf": lo["sf"],
+        "queries": {"kg_e2e_8cpu": lo["value"], "kg_e2e_32cpu": hi["value"]},
+        "num_cpus": hi_cpus,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -18,3 +18,36 @@ FIXTURES.md for the table schemas.
 """
 
 __version__ = "0.1.0"
+
+
+def _warm_fsspec_http() -> None:
+    """Pre-cache fsspec.implementations.http in sys.modules.
+
+    Ray Data's path resolution try-imports that module on EVERY
+    read/write call; with aiohttp absent the import fails each time and
+    is retried, and concurrent Dataset construction from shard threads
+    races on the partially-initialized module ("cannot import name
+    'HTTPFileSystem'"). Importing it once here — against throwaway stub
+    aiohttp/yarl modules that are removed immediately after — leaves a
+    fully-initialized module in sys.modules, making later imports
+    race-free cache hits. No network code ever runs (local paths only).
+    """
+    import importlib
+    import sys
+    import types
+
+    if "fsspec.implementations.http" in sys.modules:
+        return
+    stubs = [n for n in ("aiohttp", "yarl") if n not in sys.modules]
+    for n in stubs:
+        sys.modules[n] = types.ModuleType(n)
+    try:
+        importlib.import_module("fsspec.implementations.http")
+    except Exception:
+        pass
+    finally:
+        for n in stubs:
+            sys.modules.pop(n, None)
+
+
+_warm_fsspec_http()

@@ -53,7 +53,8 @@ from ..stages.resolution import build_name_map, distinct_mention_names
 
 
 def _shard_expr(shard: int, num_shards: int):
-    """Document shard predicate on a stable hash of doc_id."""
+    """Document shard predicate on a stable hash of doc_id (fallback path
+    when the input has fewer files than shards)."""
     import zlib
 
     def pred(batch: pa.Table) -> pa.Table:
@@ -62,6 +63,15 @@ def _shard_expr(shard: int, num_shards: int):
         return batch.filter(pa.array(mask))
 
     return pred
+
+
+def _list_parquet_files(path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                out.append(os.path.join(root, f))
+    return sorted(out)
 
 
 class IngestPipeline:
@@ -75,11 +85,17 @@ class IngestPipeline:
 
     # ── stage 1: chunk + extract, per shard (resume granularity) ──────
     def run_extraction(self) -> None:
+        """Input sharding is file-granular when the input has >= num_shards
+        parquet files (each shard reads ONLY its files — no redundant
+        full-input scans); otherwise a hash-of-doc_id row filter."""
         cfg = self.cfg
-        for shard in range(cfg.num_shards):
+        files = _list_parquet_files(self.docs_path)
+        by_files = len(files) >= cfg.num_shards
+
+        def run_shard(shard: int) -> None:
             unit = f"extraction_shard_{shard:04d}"
             if self.manifest.is_committed(unit):
-                continue
+                return
             t0 = time.time()
             shard_dir = os.path.join(self.out, "extraction", f"shard={shard:04d}")
             tmp_dir = shard_dir + ".tmp"
@@ -87,9 +103,14 @@ class IngestPipeline:
                 import shutil
 
                 shutil.rmtree(tmp_dir)
+            if by_files:
+                src = rd.read_parquet(files[shard :: cfg.num_shards])
+            else:
+                src = rd.read_parquet(self.docs_path).map_batches(
+                    _shard_expr(shard, cfg.num_shards), batch_format="pyarrow"
+                )
             ds = (
-                rd.read_parquet(self.docs_path)
-                .map_batches(_shard_expr(shard, cfg.num_shards), batch_format="pyarrow")
+                src
                 .map_batches(
                     lambda b: chunk_batch(b, cfg),
                     batch_format="pyarrow",
@@ -116,11 +137,33 @@ class IngestPipeline:
                 {
                     "stage": "extraction",
                     "lineage": {"input": self.docs_path, "shard": shard,
-                                "num_shards": cfg.num_shards},
+                                "num_shards": cfg.num_shards,
+                                "files": files[shard :: cfg.num_shards] if by_files else "hash"},
                     "rows": n_rows,
                     "seconds": round(time.time() - t0, 3),
                 },
             )
+
+        # shards are independent jobs (separate commits = resume granularity);
+        # run a few concurrently so per-job fixed overhead doesn't serialize.
+        # Each concurrent job pins >= 1 actor + needs task slots — cap the
+        # thread count at cpus//4 or the pinned pools starve the read tasks
+        # and the whole cluster deadlocks.
+        try:
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cluster_cpus = 4
+        workers = max(1, min(4, cluster_cpus // 4, cfg.num_shards))
+        pending = [s for s in range(cfg.num_shards)
+                   if not self.manifest.is_committed(f"extraction_shard_{s:04d}")]
+        if workers <= 1 or len(pending) <= 1:
+            for s in pending:
+                run_shard(s)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                list(pool.map(run_shard, pending))
 
     def _extraction_ds(self) -> rd.Dataset:
         return rd.read_parquet(os.path.join(self.out, "extraction"))
@@ -178,7 +221,7 @@ class IngestPipeline:
         self._write_stage(
             "mentions",
             lambda: self._extraction_ds().map_batches(
-                RemapMentions, batch_format="pyarrow", concurrency=(1, 4)
+                RemapMentions, batch_format="pyarrow"
             ),
             "chunk_id", ["order_key"], MENTIONS_SCHEMA_FINAL, "mentions",
             finalize_fn=_props_json_to_map,
@@ -207,7 +250,7 @@ class IngestPipeline:
             "triples",
             lambda: (
                 self._extraction_ds()
-                .map_batches(RemapTriples, batch_format="pyarrow", concurrency=(1, 4))
+                .map_batches(RemapTriples, batch_format="pyarrow")
                 .groupby(["subj", "pred", "obj"])
                 .map_groups(mat.triple_reduce_group, batch_format="pyarrow")
             ),

@@ -1,0 +1,458 @@
+"""Named query/pipeline library backing ``__ray_entry__.queries()``.
+
+Two families:
+
+* ``kg_*`` — the knowledge-graph construction path over the synthesized
+  interleaved-span corpus (BASELINE.json input_hint). The corpus and the
+  full ingest run are cached per scale under /tmp so the per-query
+  callables are cheap reads of the materialized tables. Non-SQL (the
+  driver records rows-only checks; the real gate is the oracle pytest).
+* testdata-backed operators over /root/testdata parquet (documents,
+  embeddings, events, TPC-H-ish tables) — each paired with a DuckDB
+  oracle in ``oracle_sql()``; column names match exactly.
+
+None of these call ray.init()/ray.shutdown() — the caller owns the Ray
+session (driver contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..config import PipelineConfig
+from ..corpus import synthesize_corpus_parquet
+from .ingest import IngestPipeline
+
+# scale tag -> synthetic patient count (docs ~= 3.5x patients)
+_SF_PATIENTS = {"sf0.001": 40, "sf0.01": 150, "sf0.1": 1200}
+_DEFAULT_PATIENTS = 150
+
+
+def _sf_tag(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir)) or "sfx"
+
+
+def kg_config(num_patients: int) -> PipelineConfig:
+    return PipelineConfig(
+        num_shards=8,
+        num_output_partitions=8,
+        extract_concurrency=8,
+    )
+
+
+def ensure_kg_output(sf_dir: str, scratch: str = "/tmp/medkg") -> IngestPipeline:
+    """Synthesize the interleaved corpus for this scale (cached) and run the
+    ingest pipeline (resumable; a completed run is a no-op)."""
+    tag = _sf_tag(sf_dir)
+    n = _SF_PATIENTS.get(tag, _DEFAULT_PATIENTS)
+    cfg = kg_config(n)
+    corpus_dir = os.path.join(scratch, "corpus", f"{tag}-{n}")
+    synthesize_corpus_parquet(n, corpus_dir, cfg)
+    out_dir = os.path.join(scratch, "out", f"{tag}-{n}")
+    pipe = IngestPipeline(corpus_dir, cfg, output_dir=out_dir)
+    if not pipe.manifest.is_committed("summary"):
+        pipe.run()
+    return pipe
+
+
+# ── kg_* queries (rows-only checks) ────────────────────────────────────
+
+def q_kg_triples(sf_dir: str):
+    return ensure_kg_output(sf_dir).read_table("triples")
+
+
+def q_kg_entities(sf_dir: str):
+    t = ensure_kg_output(sf_dir).read_table("entities")
+    return t.select(["entity_id", "label", "key"])  # map col dropped for the check
+
+
+def q_kg_mentions(sf_dir: str):
+    t = ensure_kg_output(sf_dir).read_table("mentions")
+    return t.select(["mention_id", "chunk_id", "doc_id", "name", "canonical_name",
+                     "label", "confidence", "extraction_method"])
+
+
+def q_kg_chunks(sf_dir: str):
+    return ensure_kg_output(sf_dir).read_table("chunks")
+
+
+def q_kg_spans(sf_dir: str):
+    return ensure_kg_output(sf_dir).read_table("spans")
+
+
+def q_kg_stats(sf_dir: str):
+    pipe = ensure_kg_output(sf_dir)
+    stats = pipe.graph_stats()
+    rows = [{"label": k, "n": v} for k, v in sorted(stats["entities_by_label"].items())]
+    rows.append({"label": "__triples__", "n": stats["triples"]})
+    return pa.Table.from_pylist(rows)
+
+
+def q_kg_chunk_embeddings(sf_dir: str):
+    """A1 analog: chunk embedding via the actor-pool embedder stage."""
+    from ..stages.embedding import embed_chunks
+
+    pipe = ensure_kg_output(sf_dir)
+    ds = embed_chunks(
+        rd.read_parquet(os.path.join(pipe.out, "chunks"), columns=["chunk_id", "text"]),
+        pipe.cfg,
+    )
+
+    def norms(batch: pa.Table) -> pa.Table:
+        embs = np.array([list(v) for v in batch.column("embedding").to_pylist()],
+                        dtype=np.float32)
+        return pa.table({
+            "chunk_id": batch.column("chunk_id"),
+            "embedding_norm": pa.array(np.round(np.linalg.norm(embs, axis=1), 4)),
+        })
+
+    return ds.map_batches(norms, batch_format="pyarrow").to_pandas()
+
+
+def q_kg_khop(sf_dir: str):
+    """Q2: 2-hop neighborhoods of the first 3 patients."""
+    from .queryside import expand_k_hop
+
+    pipe = ensure_kg_output(sf_dir)
+    pats = sorted(r["key"] for r in pipe.read_table("entities").to_pylist()
+                  if r["label"] == "Patient")[:3]
+    out = []
+    for p in pats:
+        t = expand_k_hop(pipe.out, [p], hops=2, limit=100)
+        for r in t.to_pylist():
+            out.append({"seed": p, **r})
+    return pa.Table.from_pylist(out)
+
+
+def q_kg_citations(sf_dir: str):
+    """J5: provenance citations for the 5 most-mentioned conditions."""
+    from .queryside import citations
+
+    pipe = ensure_kg_output(sf_dir)
+    conds = sorted(r["key"] for r in pipe.read_table("entities").to_pylist()
+                   if r["label"] == "Condition")[:5]
+    return citations(pipe.out, conds, limit=100)
+
+
+def q_kg_entity_first(sf_dir: str):
+    """Q1: embed query -> top-k chunks -> seed entities."""
+    from .queryside import entity_first_retrieval
+
+    pipe = ensure_kg_output(sf_dir)
+    return entity_first_retrieval(pipe.out, "hypertension blood pressure control",
+                                  top_k=5, threshold=0.0)
+
+
+def q_kg_media_features(sf_dir: str):
+    """Multimodal plumbing: media spans -> payload table -> featurizer pool."""
+    from ..stages.multimodal import MediaFeaturizer, media_rows_from_spans
+
+    pipe = ensure_kg_output(sf_dir)
+    ds = (
+        rd.read_parquet(pipe.docs_path)
+        .map_batches(media_rows_from_spans, batch_format="pyarrow")
+        .map_batches(MediaFeaturizer, batch_format="pyarrow", batch_size=64,
+                     concurrency=(1, 4))
+    )
+    return ds.select_columns(
+        ["media_ref", "doc_id", "media_type", "decoded_w", "decoded_h"]
+    ).to_pandas()
+
+
+# ── testdata-backed queries (DuckDB oracles) ───────────────────────────
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def q_doc_token_counts(sf_dir: str):
+    from ..stages.text_analysis import token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_tokens"]).to_pandas()
+
+
+def q_lang_counts(sf_dir: str):
+    out = (
+        _docs(sf_dir, ["lang"])
+        .groupby("lang")
+        .count()
+        .rename_columns({"count()": "n"})
+        .to_pandas()
+    )
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    from ..stages.dedup import exact_dedup
+
+    out = exact_dedup(_docs(sf_dir, ["doc_id", "text"])).to_pandas()
+    return out[["doc_id", "text"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_doc_char_stats(sf_dir: str):
+    def stats(batch: pa.Table) -> pa.Table:
+        import re
+
+        texts = batch.column("text").to_pylist()
+        n_chars = [len(t) for t in texts]
+        n_punct = [len(re.findall(r"[^\w\s]", t)) for t in texts]
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(n_chars, type=pa.int64()),
+            "n_punct": pa.array(n_punct, type=pa.int64()),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    ).to_pandas()
+
+
+def q_top_users_by_value(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["user_id", "value"])
+        .groupby("user_id")
+        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(4)
+    out = out.sort_values(["total_value", "user_id"],
+                          ascending=[False, True]).head(10)
+    return out.reset_index(drop=True)
+
+
+def q_events_hourly(sf_dir: str):
+    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["hour"] = batch["ts"].dt.floor("h")
+        return batch[["hour", "event_type", "value"]]
+
+    from ray.data.aggregate import Count, Sum
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                        columns=["ts", "event_type", "value"])
+        .map_batches(add_hour, batch_format="pandas")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = out["total"].round(4)
+    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+
+
+def q_embedding_topk(sf_dir: str):
+    from ..stages.similarity import brute_force_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q0 = pq.read_table(emb_path).filter(pc.equal(pc.field("vec_id"), 0))
+    qvec = np.array(q0.column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = brute_force_topk(ds, qvec, k=10).to_pandas()
+    out = out[["vec_id", "score"]].sort_values(
+        ["score", "vec_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return out
+
+
+def q_region_customer_counts(sf_dir: str):
+    """Broadcast join: nation+region dims shipped once via ray.put."""
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = dict(zip(dim["n_nationkey"], dim["r_name"]))
+    ref = ray.put(lookup)
+
+    class AddRegion:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch.column("c_nationkey").to_pylist()
+            return batch.append_column(
+                "region", pa.array([self.lookup[k] for k in keys], type=pa.string())
+            )
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                        columns=["c_custkey", "c_nationkey"])
+        .map_batches(AddRegion, batch_format="pyarrow", concurrency=(1, 2))
+        .groupby("region")
+        .count()
+        .rename_columns({"count()": "n_customers"})
+        .to_pandas()
+    )
+    return out.sort_values("region").reset_index(drop=True)
+
+
+def q_lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped aggregate (groupby + multiple sums + avg)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return batch.append_column("revenue", rev)
+
+    out = (
+        rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                                 "l_extendedprice", "l_discount"])
+        .map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
+        out[c] = out[c].round(3)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_minhash_dedup_docs(sf_dir: str):
+    """Near-dup clustering (rows-only check: deterministic but not SQL)."""
+    from ..stages.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(
+        _docs(sf_dir, ["doc_id", "text"]), jaccard_threshold=0.8
+    ).to_pandas()
+    return out[["doc_id", "dup_group"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash_candidates(sf_dir: str):
+    from ..stages.dedup import simhash_candidates
+
+    out = simhash_candidates(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def q_quality_scores(sf_dir: str):
+    from ..stages.text_analysis import quality_score_batch
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(quality_score_batch, batch_format="pandas")
+        .to_pandas()
+    )
+    return out[["doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+                "quality_score"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_langid_pred(sf_dir: str):
+    from ..stages.text_analysis import LangId
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(LangId, batch_format="pandas", concurrency=(1, 2))
+        .to_pandas()
+    )
+    return out[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def q_embedding_neardup(sf_dir: str):
+    from ..stages.dedup import embedding_neardup_pairs
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+QUERIES = {
+    # knowledge-graph construction path (oracle-checked in pytest)
+    "kg_triples": q_kg_triples,
+    "kg_entities": q_kg_entities,
+    "kg_mentions": q_kg_mentions,
+    "kg_chunks": q_kg_chunks,
+    "kg_spans": q_kg_spans,
+    "kg_stats": q_kg_stats,
+    "kg_media_features": q_kg_media_features,
+    "kg_chunk_embeddings": q_kg_chunk_embeddings,
+    "kg_khop": q_kg_khop,
+    "kg_citations": q_kg_citations,
+    "kg_entity_first": q_kg_entity_first,
+    # testdata operators
+    "doc_token_counts": q_doc_token_counts,
+    "lang_counts": q_lang_counts,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "doc_char_stats": q_doc_char_stats,
+    "top_users_by_value": q_top_users_by_value,
+    "events_hourly": q_events_hourly,
+    "embedding_topk": q_embedding_topk,
+    "region_customer_counts": q_region_customer_counts,
+    "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "simhash_candidates": q_simhash_candidates,
+    "quality_scores": q_quality_scores,
+    "langid_pred": q_langid_pred,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLE_SQL = {
+    "doc_token_counts": (
+        "SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        " AS n_tokens FROM documents"
+    ),
+    "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
+    "exact_dedup_docs": (
+        "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text ORDER BY doc_id"
+    ),
+    "doc_char_stats": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS BIGINT)"
+        " AS n_punct FROM documents"
+    ),
+    "top_users_by_value": (
+        "SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n_events "
+        "FROM events GROUP BY user_id ORDER BY total_value DESC, user_id LIMIT 10"
+    ),
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
+        "round(sum(value), 4) AS total FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+    ),
+    "embedding_topk": (
+        "SELECT vec_id, round(list_cosine_similarity(embedding, "
+        "(SELECT embedding FROM embeddings WHERE vec_id = 0)), 6) AS score "
+        "FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
+    ),
+    "region_customer_counts": (
+        "SELECT r.r_name AS region, count(*) AS n_customers FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1"
+    ),
+    "lineitem_pricing_summary": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "
+        "round(sum(l_extendedprice), 3) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price, "
+        "round(avg(l_quantity), 3) AS avg_qty, count(*) AS count_order "
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+}

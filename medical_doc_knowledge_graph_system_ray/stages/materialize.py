@@ -241,29 +241,37 @@ def triple_reduce_group(group: pa.Table) -> pa.Table:
     )
 
 
-def make_remap_mentions_fn(name_map_ref, cfg: PipelineConfig):
-    """Stage factory: broadcast name map fetched once per worker via ray.get."""
+# worker-global broadcast cache: ray.put once on the driver, ray.get +
+# deserialize once per worker process (NOT per batch/task), regardless of
+# whether the stage runs as tasks or actors
+_BCAST: dict[str, object] = {}
+
+
+def fetch_broadcast(ref):
     import ray
 
-    class RemapMentions:
-        def __init__(self):
-            self.name_map = ray.get(name_map_ref)
+    key = ref.hex() if hasattr(ref, "hex") else str(ref)
+    if key not in _BCAST:
+        if len(_BCAST) > 16:
+            _BCAST.clear()
+        _BCAST[key] = ray.get(ref)
+    return _BCAST[key]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return remap_mentions_batch(batch, self.name_map)
 
-    return RemapMentions
+def make_remap_mentions_fn(name_map_ref, cfg: PipelineConfig):
+    """Stage factory: plain-function map_batches (stateless tasks reuse warm
+    Ray workers; the broadcast map is fetched once per worker)."""
+
+    def remap_mentions(batch: pa.Table) -> pa.Table:
+        return remap_mentions_batch(batch, fetch_broadcast(name_map_ref))
+
+    return remap_mentions
 
 
 def make_remap_triples_fn(name_map_ref, entity_keys_ref, cfg: PipelineConfig):
-    import ray
+    def remap_triples(batch: pa.Table) -> pa.Table:
+        return remap_triples_batch(
+            batch, fetch_broadcast(name_map_ref), fetch_broadcast(entity_keys_ref)
+        )
 
-    class RemapTriples:
-        def __init__(self):
-            self.name_map = ray.get(name_map_ref)
-            self.entity_keys = ray.get(entity_keys_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return remap_triples_batch(batch, self.name_map, self.entity_keys)
-
-    return RemapTriples
+    return remap_triples

@@ -21,10 +21,11 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
     """Top-k cosine rows per query: (query_id, vec_id, score).
 
     Per-batch partial top-k (combiner) then global sort().limit() per
-    query — the shuffle carries n_batches * k rows, not the corpus."""
+    query — the shuffle carries n_batches * k rows, not the corpus.
+    float64 math so scores agree with SQL oracles to rounding precision."""
     import ray
 
-    q = _normalize(np.asarray(query_vecs, dtype=np.float32))
+    q = _normalize(np.asarray(query_vecs, dtype=np.float64))
     q_ref = ray.put(q)
 
     class Score:
@@ -32,7 +33,7 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
             self.q = ray.get(q_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float32)
+            embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float64)
             embs = _normalize(embs)
             sims = embs @ self.q.T  # (rows, n_queries)
             ids = np.asarray(batch.column(id_col).to_pylist())

@@ -1,0 +1,87 @@
+"""Kill/restart resumability: a run killed after partial extraction must,
+on restart, (a) skip committed shards and (b) produce byte-identical
+final tables (BASELINE.md resumability criterion)."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from medical_doc_knowledge_graph_system_ray.pipelines.ingest import IngestPipeline
+
+
+def _dir_digest(root: str, table: str) -> str:
+    h = hashlib.blake2b(digest_size=16)
+    tdir = os.path.join(root, table)
+    for f in sorted(os.listdir(tdir)):
+        if f.endswith(".parquet"):
+            h.update(f.encode())
+            with open(os.path.join(tdir, f), "rb") as fh:
+                h.update(fh.read())
+    return h.hexdigest()
+
+
+@pytest.fixture(scope="module")
+def docs_on_disk(tiny_corpus, tmp_path_factory):
+    docs, cfg = tiny_corpus
+    root = tmp_path_factory.mktemp("resume")
+    docs_path = os.path.join(root, "documents")
+    os.makedirs(docs_path)
+    pq.write_table(docs, os.path.join(docs_path, "part-0.parquet"))
+    return docs_path, cfg, str(root)
+
+
+def test_resume_is_byte_identical(ray_session, docs_on_disk):
+    docs_path, cfg, root = docs_on_disk
+
+    # uninterrupted run
+    out_a = os.path.join(root, "out_a")
+    IngestPipeline(docs_path, cfg, output_dir=out_a).run()
+
+    # interrupted run: stop ("crash") after 2 of the extraction shards
+    out_b = os.path.join(root, "out_b")
+    pipe_b = IngestPipeline(docs_path, cfg, output_dir=out_b)
+
+    class Killed(RuntimeError):
+        pass
+
+    orig_commit = pipe_b.manifest.commit
+    count = {"n": 0}
+
+    def commit_then_die(unit, payload):
+        orig_commit(unit, payload)
+        count["n"] += 1
+        if count["n"] == 2:
+            raise Killed()
+
+    pipe_b.manifest.commit = commit_then_die
+    with pytest.raises(Killed):
+        pipe_b.run()
+
+    # restart with a fresh pipeline object (fresh process semantics)
+    pipe_b2 = IngestPipeline(docs_path, cfg, output_dir=out_b)
+    committed_before = set(pipe_b2.manifest.all_units())
+    assert any(u.startswith("extraction_shard_") for u in committed_before)
+    assert "summary" not in committed_before  # the run really was interrupted
+    pipe_b2.run()
+
+    for table in ("triples", "entities", "mentions", "chunks", "spans"):
+        assert _dir_digest(out_a, table) == _dir_digest(out_b, table), table
+
+
+def test_committed_shards_not_recomputed(ray_session, docs_on_disk, monkeypatch):
+    docs_path, cfg, root = docs_on_disk
+    out = os.path.join(root, "out_a")  # already complete from previous test
+    pipe = IngestPipeline(docs_path, cfg, output_dir=out)
+
+    import medical_doc_knowledge_graph_system_ray.pipelines.ingest as ingest_mod
+
+    def boom(*a, **k):  # any re-read of the input would mean recompute
+        raise AssertionError("input re-read on resume of a completed run")
+
+    monkeypatch.setattr(ingest_mod.rd, "read_parquet", boom)
+    summary = pipe.run()
+    assert summary["triples"] > 0
