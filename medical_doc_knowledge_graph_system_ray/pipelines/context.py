@@ -1,0 +1,148 @@
+"""Context assembly + semantic re-rank (SURVEY.md §2.8 Q7/Q8, §2.2 M11/M12,
+§2.6 T6) — the retrieval orchestration the reference runs per query
+(/root/reference/app/retrieval/context_builder.py:39-400), over the
+materialized tables.
+
+Pure query-side composition of the queryside building blocks; the LLM
+generation step is replaced by a deterministic extractive answerer in
+rag.py (no network in this environment).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..config import PipelineConfig
+from ..functions.embedder import NgramEmbedder
+from . import queryside as qs
+
+# M12: keyword-set complexity heuristic (context_builder.py:39-59)
+_COMPLEX_KEYWORDS = {
+    "why", "how", "explain", "relationship", "related", "cause", "caused",
+    "lead", "leads", "connection", "between", "compare", "versus", "risk",
+    "interact", "chain", "path",
+}
+
+
+def classify_query_complexity(question: str) -> str:
+    words = set(question.lower().replace("?", " ").split())
+    return "complex" if words & _COMPLEX_KEYWORDS else "simple"
+
+
+def sanitize_properties(props: dict) -> dict:
+    """M10: drop embeddings/bytes, datetimes -> ISO strings, recursive
+    (app/retrieval/utils.py:9-36)."""
+    from datetime import date, datetime
+
+    def clean(v):
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return None
+        if isinstance(v, (datetime, date)):
+            return v.isoformat()
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items() if k != "embedding"
+                    and clean(x) is not None}
+        if isinstance(v, (list, tuple)):
+            out = [clean(x) for x in v]
+            return [x for x in out if x is not None]
+        return v
+
+    return {k: clean(v) for k, v in props.items()
+            if k != "embedding" and clean(v) is not None}
+
+
+@dataclass
+class ContextBundle:
+    """The reference's ContextBundle (app/models/schema.py:130-137)."""
+
+    seed_entities: list[dict] = field(default_factory=list)
+    neighborhood_nodes: list[dict] = field(default_factory=list)
+    citations: list[dict] = field(default_factory=list)
+    raw_chunks: list[str] = field(default_factory=list)
+    complexity: str = "simple"
+
+
+def build_context(out_dir: str, question: str, top_k: int = 5,
+                  cfg: PipelineConfig | None = None) -> ContextBundle:
+    """Q7: seeds (Q1) -> k-hop at adaptive depth (Q2) -> citations (J5),
+    chunk dedup along the way (context_builder.py:62-158)."""
+    cfg = cfg or PipelineConfig()
+    complexity = classify_query_complexity(question)
+    hops = 2 if complexity == "complex" else 1
+
+    seeds_t = qs.entity_first_retrieval(out_dir, question, top_k=top_k, threshold=0.0,
+                                        cfg=cfg)
+    seeds = seeds_t.to_pylist() if seeds_t.num_rows else []
+    seed_keys = sorted({s["entity"] for s in seeds})
+
+    neighborhood = []
+    if seed_keys:
+        nb = qs.expand_k_hop(out_dir, seed_keys, hops=hops, limit=100)
+        neighborhood = nb.to_pylist()
+
+    cites = []
+    if seed_keys:
+        cites = qs.citations(out_dir, seed_keys, limit=10).to_pylist()
+
+    seen_chunks: set[str] = set()
+    raw_chunks: list[str] = []
+    for c in cites:  # chunk dedup (context_builder.py:94-102)
+        if c["source_text"] not in seen_chunks:
+            seen_chunks.add(c["source_text"])
+            raw_chunks.append(c["source_text"])
+
+    return ContextBundle(
+        seed_entities=seeds,
+        neighborhood_nodes=neighborhood,
+        citations=cites,
+        raw_chunks=raw_chunks,
+        complexity=complexity,
+    )
+
+
+def rerank_context_bundle(bundle: ContextBundle, question: str,
+                          cfg: PipelineConfig | None = None) -> ContextBundle:
+    """Q8/T6: embed question, score each element, sort desc, threshold
+    prune + per-kind caps (seeds->3/6, nodes->3/8, citations->3/8;
+    simple-query threshold floor 0.35) — context_builder.py:164-278."""
+    cfg = cfg or PipelineConfig()
+    emb = NgramEmbedder(cfg.embedding_dim)
+    qv = emb.embed_batch([question])[0]
+    floor = 0.35 if bundle.complexity == "simple" else 0.0
+
+    def score_and_cap(items: list[dict], text_of, min_keep: int, cap: int) -> list[dict]:
+        if not items:
+            return []
+        vecs = emb.embed_batch([text_of(i) for i in items])
+        scored = sorted(
+            zip((vecs @ qv).tolist(), range(len(items))),
+            key=lambda t: (-t[0], t[1]),
+        )
+        kept = [items[i] for s, i in scored if s >= floor]
+        if len(kept) < min_keep:
+            kept = [items[i] for _s, i in scored[:min_keep]]
+        return kept[:cap]
+
+    return ContextBundle(
+        seed_entities=score_and_cap(bundle.seed_entities, lambda s: s["entity"], 3, 6),
+        neighborhood_nodes=score_and_cap(bundle.neighborhood_nodes,
+                                         lambda n: n["key"], 3, 8),
+        citations=score_and_cap(bundle.citations,
+                                lambda c: c["source_text"], 3, 8),
+        raw_chunks=bundle.raw_chunks[:5],
+        complexity=bundle.complexity,
+    )
+
+
+def format_context_for_prompt(bundle: ContextBundle) -> str:
+    """M11: 3-section text block with caps (context_builder.py:330-400)."""
+    lines = ["== Entities =="]
+    for s in bundle.seed_entities[:15]:
+        lines.append(f"- {s['entity']} ({s['label']})")
+    lines.append("== Neighborhood ==")
+    for n in bundle.neighborhood_nodes[:10]:
+        lines.append(f"- {n['key']} ({n['hops']} hops)")
+    lines.append("== Citations ==")
+    for c in bundle.citations[:10]:
+        lines.append(f"- [{c['section']}] {c['source_text'][:200]}")
+    return "\n".join(lines)

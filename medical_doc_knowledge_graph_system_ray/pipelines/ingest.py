@@ -165,8 +165,8 @@ class IngestPipeline:
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(run_shard, pending))
 
-    def _extraction_ds(self) -> rd.Dataset:
-        return rd.read_parquet(os.path.join(self.out, "extraction"))
+    def _extraction_ds(self, columns: list[str] | None = None) -> rd.Dataset:
+        return rd.read_parquet(os.path.join(self.out, "extraction"), columns=columns)
 
     # ── stage 2: canonical name map (the global barrier) ──────────────
     def build_name_map(self) -> dict[str, str]:
@@ -216,45 +216,48 @@ class IngestPipeline:
         name_map = self.build_name_map()
         name_map_ref = ray.put(name_map)
 
-        # mentions
+        # mentions (no global groupby: dedup is chunk-local)
         RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)
+        mention_cols = ["kind", "chunk_id", "doc_id", "order_key", "name",
+                        "label", "method", "confidence", "props"]
         self._write_stage(
             "mentions",
-            lambda: self._extraction_ds().map_batches(
+            lambda: self._extraction_ds(mention_cols).map_batches(
                 RemapMentions, batch_format="pyarrow"
             ),
             "chunk_id", ["order_key"], MENTIONS_SCHEMA_FINAL, "mentions",
             finalize_fn=_props_json_to_map,
         )
 
-        # entities (from the mentions table: partial reduce + global first-writer)
+        # entities: per-batch partial first-writer (combiner), then the global
+        # reduce happens vectorized inside the bucketed write (bucket key =
+        # entity key co-locates every candidate of a (label, key))
         self._write_stage(
             "entities",
             lambda: (
                 rd.read_parquet(os.path.join(self.out, "mentions"))
                 .map_batches(_mentions_parquet_to_flat, batch_format="pyarrow")
                 .map_batches(mat.entity_candidates_batch, batch_format="pyarrow")
-                .groupby(["label", "key"])
-                .map_groups(mat.entity_reduce_group, batch_format="pyarrow")
             ),
             "key", ["label", "key"], ENTITIES_SCHEMA_FINAL, "entities",
-            finalize_fn=_props_json_to_map,
+            finalize_fn=lambda t: _props_json_to_map(mat.entity_finalize_partition(t)),
         )
 
         entity_keys = self._collect_entity_keys()
         entity_keys_ref = ray.put(entity_keys)
 
-        # triples
+        # triples: remap + partial dedup per batch, vectorized global reduce
+        # inside the bucketed write (bucket key = subj co-locates each s,p,o)
         RemapTriples = mat.make_remap_triples_fn(name_map_ref, entity_keys_ref, cfg)
+        triple_cols = ["kind", "chunk_id", "subj", "subj_label", "pred",
+                       "obj", "obj_label", "confidence", "props"]
         self._write_stage(
             "triples",
-            lambda: (
-                self._extraction_ds()
-                .map_batches(RemapTriples, batch_format="pyarrow")
-                .groupby(["subj", "pred", "obj"])
-                .map_groups(mat.triple_reduce_group, batch_format="pyarrow")
+            lambda: self._extraction_ds(triple_cols).map_batches(
+                RemapTriples, batch_format="pyarrow"
             ),
             "subj", ["subj", "pred", "obj"], TRIPLES_SCHEMA, "triples",
+            finalize_fn=mat.triple_finalize_partition,
         )
 
         if with_chunks_table:

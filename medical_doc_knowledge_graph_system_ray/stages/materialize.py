@@ -172,6 +172,52 @@ def entity_reduce_group(group: pa.Table) -> pa.Table:
     )
 
 
+def entity_finalize_partition(t: pa.Table) -> pa.Table:
+    """Vectorized per-partition first-writer-wins reduce.
+
+    Valid because the partitioned write buckets on `key`, so every
+    candidate row of a given (label, key) lands in the same partition —
+    the per-group reduce collapses to one table-level sort + drop-dup
+    instead of a Python call per group (the map_groups path is ~50x
+    slower at 10^5 groups)."""
+    if t.num_rows == 0:
+        return pa.table({"entity_id": pa.array([], type=pa.string()),
+                         "label": pa.array([], type=pa.string()),
+                         "key": pa.array([], type=pa.string()),
+                         "properties": pa.array([], type=pa.string())})
+    df = t.select(["label", "key", "properties", "order_key"]).to_pandas()
+    df = df.sort_values("order_key", kind="stable").drop_duplicates(
+        subset=["label", "key"], keep="first"
+    )
+    eids = [entity_id(l, k) for l, k in zip(df["label"], df["key"])]
+    return pa.table({
+        "entity_id": pa.array(eids, type=pa.string()),
+        "label": pa.array(df["label"].tolist(), type=pa.string()),
+        "key": pa.array(df["key"].tolist(), type=pa.string()),
+        "properties": pa.array(df["properties"].tolist(), type=pa.string()),
+    })
+
+
+def triple_finalize_partition(t: pa.Table) -> pa.Table:
+    """Vectorized per-partition (subj, pred, obj) reduce: max confidence,
+    min witness chunk_id. Valid because the write buckets on `subj`."""
+    if t.num_rows == 0:
+        return t
+    agg = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
+        [("confidence", "max"), ("chunk_id", "min"),
+         ("subj_label", "min"), ("obj_label", "min")]
+    )
+    return pa.table({
+        "subj": agg.column("subj"),
+        "subj_label": agg.column("subj_label_min"),
+        "pred": agg.column("pred"),
+        "obj": agg.column("obj"),
+        "obj_label": agg.column("obj_label_min"),
+        "confidence": agg.column("confidence_max"),
+        "chunk_id": agg.column("chunk_id_min"),
+    })
+
+
 # ── triples ────────────────────────────────────────────────────────────
 
 

@@ -1,0 +1,98 @@
+"""Context assembly, re-rank, RAG paths and the evaluation harness."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from medical_doc_knowledge_graph_system_ray.pipelines import rag
+from medical_doc_knowledge_graph_system_ray.pipelines.context import (
+    build_context,
+    classify_query_complexity,
+    format_context_for_prompt,
+    rerank_context_bundle,
+    sanitize_properties,
+)
+from medical_doc_knowledge_graph_system_ray.pipelines.ingest import IngestPipeline
+
+
+@pytest.fixture(scope="module")
+def kg_out(ray_session, tiny_corpus, tmp_path_factory):
+    docs, cfg = tiny_corpus
+    root = tmp_path_factory.mktemp("rag")
+    docs_path = os.path.join(root, "documents")
+    os.makedirs(docs_path)
+    pq.write_table(docs, os.path.join(docs_path, "part-0.parquet"))
+    pipe = IngestPipeline(docs_path, cfg, output_dir=os.path.join(root, "out"))
+    pipe.run()
+    return pipe
+
+
+def test_complexity_classifier():
+    assert classify_query_complexity("What medications is the patient taking?") == "simple"
+    assert classify_query_complexity("Why does HTN cause these symptoms?") == "complex"
+
+
+def test_sanitize_properties():
+    from datetime import datetime
+
+    out = sanitize_properties({
+        "a": 1, "embedding": [0.1] * 4, "b": b"\x00", "t": datetime(2024, 1, 2),
+        "nested": {"embedding": [1], "x": "y"}, "lst": [b"\x01", "keep"],
+    })
+    assert "embedding" not in out and "b" not in out
+    assert out["t"] == "2024-01-02T00:00:00"
+    assert out["nested"] == {"x": "y"}
+    assert out["lst"] == ["keep"]
+
+
+def test_build_and_rerank_context(kg_out):
+    bundle = build_context(kg_out.out, "hypertension and blood pressure")
+    assert bundle.seed_entities
+    reranked = rerank_context_bundle(bundle, "hypertension and blood pressure")
+    assert len(reranked.seed_entities) <= 6
+    assert len(reranked.neighborhood_nodes) <= 8
+    assert len(reranked.citations) <= 8
+    text = format_context_for_prompt(reranked)
+    assert "== Entities ==" in text and "== Citations ==" in text
+
+
+def test_graph_and_vector_rag(kg_out):
+    for fn, strategy in ((rag.graph_rag_query, "graph"),
+                         (rag.vector_rag_query, "vector")):
+        resp = fn(kg_out.out, "What conditions does the patient have?")
+        assert resp.strategy == strategy
+        assert resp.answer and isinstance(resp.answer, str)
+        assert resp.retrieval_time_ms >= 0
+    both = rag.both_strategies(kg_out.out, "What conditions does the patient have?")
+    assert "---" in both["answer"]
+
+
+def test_evaluation_harness(kg_out):
+    report = rag.run_evaluation(kg_out.out)
+    assert len(report["records"]) == 2 * len(rag.GOLD_QUESTIONS)
+    for strategy in ("vector", "graph"):
+        agg = report["aggregates"][strategy]
+        assert agg["n"] == len(rag.GOLD_QUESTIONS)
+        for metric, v in agg.items():
+            if metric == "n":
+                continue
+            assert 0.0 <= v["mean"] <= 1.0
+    assert "# Evaluation Report" in report["summary"]
+    # determinism: same inputs, same scores
+    report2 = rag.run_evaluation(kg_out.out)
+    assert report["aggregates"] == report2["aggregates"]
+
+
+def test_cli_stats_and_query(kg_out, capsys):
+    from medical_doc_knowledge_graph_system_ray.cli import main
+
+    assert main(["stats", "--out", kg_out.out]) == 0
+    out = capsys.readouterr().out
+    assert '"triples"' in out
+    assert main(["query", "--out", kg_out.out, "--question", "what conditions?",
+                 "--strategy", "vector"]) == 0
+    out = capsys.readouterr().out
+    assert '"answer"' in out
