@@ -209,9 +209,49 @@ class IngestPipeline:
 
     def run(self, with_spans: bool = True, with_chunks_table: bool = True) -> dict:
         """Full pipeline; returns summary stats (the IngestResponse analog,
-        pipeline.py:122-128)."""
+        pipeline.py:122-128).
+
+        The chunks/spans tables depend only on the input documents, so they
+        run on side threads concurrently with the extraction -> name-map ->
+        mentions -> entities -> triples chain — overlapping their fixed
+        per-job cost instead of serializing it."""
         t_start = time.time()
         cfg = self.cfg
+
+        side_errors: list[BaseException] = []
+        side_threads = []
+
+        def side(fn):
+            import threading
+
+            def wrapped():
+                try:
+                    fn()
+                except BaseException as e:  # surfaced after join
+                    side_errors.append(e)
+
+            t = threading.Thread(target=wrapped, daemon=True)
+            t.start()
+            side_threads.append(t)
+
+        if with_chunks_table:
+            side(lambda: self._write_stage(
+                "chunks",
+                lambda: rd.read_parquet(self.docs_path).map_batches(
+                    lambda b: chunk_batch(b, cfg), batch_format="pyarrow",
+                    batch_size=cfg.chunk_batch_size,
+                ),
+                "doc_id", ["doc_id", "seq"], CHUNKS_SCHEMA, "chunks",
+            ))
+        if with_spans:
+            side(lambda: self._write_stage(
+                "spans",
+                lambda: rd.read_parquet(self.docs_path).map_batches(
+                    spans_batch, batch_format="pyarrow"
+                ),
+                "doc_id", ["doc_id", "span_seq"], SPANS_SCHEMA, "spans",
+            ))
+
         self.run_extraction()
         name_map = self.build_name_map()
         name_map_ref = ray.put(name_map)
@@ -260,23 +300,10 @@ class IngestPipeline:
             finalize_fn=mat.triple_finalize_partition,
         )
 
-        if with_chunks_table:
-            self._write_stage(
-                "chunks",
-                lambda: rd.read_parquet(self.docs_path).map_batches(
-                    lambda b: chunk_batch(b, cfg), batch_format="pyarrow",
-                    batch_size=cfg.chunk_batch_size,
-                ),
-                "doc_id", ["doc_id", "seq"], CHUNKS_SCHEMA, "chunks",
-            )
-        if with_spans:
-            self._write_stage(
-                "spans",
-                lambda: rd.read_parquet(self.docs_path).map_batches(
-                    spans_batch, batch_format="pyarrow"
-                ),
-                "doc_id", ["doc_id", "span_seq"], SPANS_SCHEMA, "spans",
-            )
+        for t in side_threads:
+            t.join()
+        if side_errors:
+            raise side_errors[0]
 
         stats = self.graph_stats()
         summary = {
