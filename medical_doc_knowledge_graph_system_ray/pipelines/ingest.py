@@ -256,32 +256,44 @@ class IngestPipeline:
         name_map = self.build_name_map()
         name_map_ref = ray.put(name_map)
 
-        # mentions (no global groupby: dedup is chunk-local)
+        # mentions table and entity candidates both derive from the remapped
+        # extraction and are independent of each other -> run concurrently
         RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)
         mention_cols = ["kind", "chunk_id", "doc_id", "order_key", "name",
                         "label", "method", "confidence", "props"]
-        self._write_stage(
-            "mentions",
-            lambda: self._extraction_ds(mention_cols).map_batches(
-                RemapMentions, batch_format="pyarrow"
-            ),
-            "chunk_id", ["order_key"], MENTIONS_SCHEMA_FINAL, "mentions",
-            finalize_fn=_props_json_to_map,
-        )
 
-        # entities: per-batch partial first-writer (combiner), then the global
-        # reduce happens vectorized inside the bucketed write (bucket key =
-        # entity key co-locates every candidate of a (label, key))
-        self._write_stage(
-            "entities",
-            lambda: (
-                rd.read_parquet(os.path.join(self.out, "mentions"))
-                .map_batches(_mentions_parquet_to_flat, batch_format="pyarrow")
-                .map_batches(mat.entity_candidates_batch, batch_format="pyarrow")
-            ),
-            "key", ["label", "key"], ENTITIES_SCHEMA_FINAL, "entities",
-            finalize_fn=lambda t: _props_json_to_map(mat.entity_finalize_partition(t)),
-        )
+        def mentions_stage():
+            # no global groupby: dedup is chunk-local
+            self._write_stage(
+                "mentions",
+                lambda: self._extraction_ds(mention_cols).map_batches(
+                    RemapMentions, batch_format="pyarrow"
+                ),
+                "chunk_id", ["order_key"], MENTIONS_SCHEMA_FINAL, "mentions",
+                finalize_fn=_props_json_to_map,
+            )
+
+        def entities_stage():
+            # per-batch partial first-writer (combiner); the global reduce is
+            # vectorized inside the bucketed write (bucket key = entity key
+            # co-locates every candidate of a (label, key))
+            self._write_stage(
+                "entities",
+                lambda: (
+                    self._extraction_ds(mention_cols)
+                    .map_batches(RemapMentions, batch_format="pyarrow")
+                    .map_batches(mat.entity_candidates_batch, batch_format="pyarrow")
+                ),
+                "key", ["label", "key"], ENTITIES_SCHEMA_FINAL, "entities",
+                finalize_fn=lambda t: _props_json_to_map(mat.entity_finalize_partition(t)),
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [pool.submit(mentions_stage), pool.submit(entities_stage)]
+            for f in futs:
+                f.result()
 
         entity_keys = self._collect_entity_keys()
         entity_keys_ref = ray.put(entity_keys)
@@ -314,9 +326,12 @@ class IngestPipeline:
         self.manifest.commit("summary", summary)
         return summary
 
-    def _collect_entity_keys(self) -> set[tuple[str, str]]:
+    def _collect_entity_keys(self) -> set[str]:
+        """Broadcast side of the dangling-endpoint semi-join: 'label\\x1fkey'
+        strings (pandas .isin against a set is a vectorized C loop)."""
         t = read_table_dir(os.path.join(self.out, "entities"))
-        return set(zip(t.column("label").to_pylist(), t.column("key").to_pylist()))
+        return {f"{l}\x1f{k}" for l, k in
+                zip(t.column("label").to_pylist(), t.column("key").to_pylist())}
 
     def graph_stats(self) -> dict:
         """G6 analog: node/edge counts + per-label counts (queries.py:185-195)."""
@@ -346,20 +361,6 @@ def _props_json_to_map(t: pa.Table) -> pa.Table:
         pa.field("properties", pa.map_(pa.string(), pa.string())),
         json_col_to_map_array(t.column("properties")),
     )
-
-
-def _mentions_parquet_to_flat(batch: pa.Table) -> pa.Table:
-    """Final mentions parquet (map-typed properties) -> in-flight flat form
-    (JSON properties) for the entity build."""
-    from ..schemas import props_to_json
-
-    props = batch.column("properties").to_pylist()
-    out = batch.set_column(
-        batch.column_names.index("properties"),
-        "properties",
-        pa.array([props_to_json(dict(p or [])) for p in props], type=pa.string()),
-    )
-    return out
 
 
 MENTIONS_SCHEMA_FINAL = MENTIONS_SCHEMA

@@ -42,9 +42,12 @@ def _sf_tag(sf_dir: str) -> str:
 
 
 def kg_config(num_patients: int) -> PipelineConfig:
+    # 32 output partitions: downstream read/write parallelism is capped by
+    # the partition-file count, so it must be >= the core count (and at
+    # multi-node scale, a multiple of the cluster's total cores)
     return PipelineConfig(
         num_shards=8,
-        num_output_partitions=8,
+        num_output_partitions=32,
         extract_concurrency=8,
     )
 

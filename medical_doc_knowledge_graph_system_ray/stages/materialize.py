@@ -36,7 +36,7 @@ from ..schemas import props_to_json
 
 def remap_mentions_batch(batch: pa.Table, name_map: dict[str, str]) -> pa.Table:
     """kind=='m' rows -> mention rows with canonical_name; chunk-local
-    (canonical, label) max-confidence dedup.
+    (canonical, label) max-confidence dedup. Vectorized (pandas kernels).
 
     Chunk-locality: extraction emits each chunk's rows contiguously and no
     shuffle sits between extraction and this stage, so a batch never holds
@@ -45,38 +45,29 @@ def remap_mentions_batch(batch: pa.Table, name_map: dict[str, str]) -> pa.Table:
     m = batch.filter(pc.equal(batch.column("kind"), "m"))
     if m.num_rows == 0:
         return pa.Table.from_pylist([], schema=_MENTION_FLAT_SCHEMA)
-    names = m.column("name").to_pylist()
-    canon = [name_map.get(n, n) for n in names]
-
-    best: dict[tuple, int] = {}
-    chunk_ids = m.column("chunk_id").to_pylist()
-    labels = m.column("label").to_pylist()
-    confs = m.column("confidence").to_pylist()
-    orders = m.column("order_key").to_pylist()
-    for i in range(m.num_rows):
-        key = (chunk_ids[i], canon[i], labels[i])
-        j = best.get(key)
-        # keep max confidence; ties -> first in order (reference keeps the
-        # earlier mention on ties: `if e.confidence > seen[key]`)
-        if j is None or confs[i] > confs[j] or (confs[i] == confs[j] and orders[i] < orders[j]):
-            best[key] = i
-    keep = sorted(best.values())
-    m = m.take(pa.array(keep, type=pa.int64()))
-    canon_kept = [canon[i] for i in keep]
+    df = m.select(["chunk_id", "doc_id", "name", "label", "confidence",
+                   "method", "props", "order_key"]).to_pandas()
+    canon = df["name"].map(name_map)
+    df["canonical_name"] = canon.where(canon.notna(), df["name"])
+    # max confidence per (chunk, canonical, label); ties -> first in order
+    # (reference: strictly-greater replaces, entity_resolver.py:76)
+    df = df.sort_values(["confidence", "order_key"], ascending=[False, True],
+                        kind="stable")
+    df = df.drop_duplicates(subset=["chunk_id", "canonical_name", "label"],
+                            keep="first").sort_values("order_key", kind="stable")
+    df["mention_id"] = df["chunk_id"] + "#" + df["order_key"]
     out = pa.table(
         {
-            "mention_id": pc.binary_join_element_wise(
-                m.column("chunk_id"), m.column("order_key"), "#"
-            ),
-            "chunk_id": m.column("chunk_id"),
-            "doc_id": m.column("doc_id"),
-            "name": m.column("name"),
-            "canonical_name": pa.array(canon_kept, type=pa.string()),
-            "label": m.column("label"),
-            "confidence": m.column("confidence"),
-            "extraction_method": m.column("method"),
-            "properties": m.column("props"),
-            "order_key": m.column("order_key"),
+            "mention_id": pa.array(df["mention_id"], type=pa.string()),
+            "chunk_id": pa.array(df["chunk_id"], type=pa.string()),
+            "doc_id": pa.array(df["doc_id"], type=pa.string()),
+            "name": pa.array(df["name"], type=pa.string()),
+            "canonical_name": pa.array(df["canonical_name"], type=pa.string()),
+            "label": pa.array(df["label"], type=pa.string()),
+            "confidence": pa.array(df["confidence"], type=pa.float32()),
+            "extraction_method": pa.array(df["method"], type=pa.string()),
+            "properties": pa.array(df["props"], type=pa.string()),
+            "order_key": pa.array(df["order_key"], type=pa.string()),
         }
     )
     return out
@@ -126,25 +117,47 @@ def project_entity_props(label: str, canonical: str, props: dict) -> tuple[str, 
 
 def entity_candidates_batch(batch: pa.Table) -> pa.Table:
     """Mention rows -> entity candidate rows, with a per-batch partial
-    first-writer reduce (combiner) on (label, key)."""
-    rows: dict[tuple, dict] = {}
-    cols = {c: batch.column(c).to_pylist()
-            for c in ("canonical_name", "label", "confidence", "properties",
-                      "order_key", "extraction_method")}
-    for canon, label, _conf, props_json, order, method in zip(
-        cols["canonical_name"], cols["label"], cols["confidence"],
-        cols["properties"], cols["order_key"], cols["extraction_method"],
-    ):
-        if label == "Patient" and method != "structured_json":
-            continue  # prose Patient mentions never become entities (graph_writer.py:146-147)
-        props = json.loads(props_json) if props_json else {}
-        key, projected = project_entity_props(label, canon, props)
-        k = (label, key)
-        prev = rows.get(k)
-        if prev is None or order < prev["order_key"]:
-            rows[k] = {"label": label, "key": key,
-                       "properties": props_to_json(projected), "order_key": order}
-    return pa.Table.from_pylist(list(rows.values()), schema=_ENTITY_CAND_SCHEMA)
+    first-writer reduce (combiner) on (label, key).
+
+    Vectorized: the entity key is derived without JSON parsing for every
+    label except Vital (key needs the reading value — extracted with a
+    vectorized regex) and Patient (key = patient_number); full property
+    projection (JSON parse) runs only for the per-batch winner rows."""
+    df = batch.select(["canonical_name", "label", "confidence", "properties",
+                       "order_key", "extraction_method"]).to_pandas()
+    # prose Patient mentions never become entities (graph_writer.py:146-147)
+    df = df[~((df["label"] == "Patient") &
+              (df["extraction_method"] != "structured_json"))]
+    if df.empty:
+        return pa.Table.from_pylist([], schema=_ENTITY_CAND_SCHEMA)
+
+    key = df["canonical_name"].copy()
+    vital = df["label"] == "Vital"
+    if vital.any():
+        vals = df.loc[vital, "properties"].str.extract(r'"value":"([^"]*)"',
+                                                       expand=False).fillna("")
+        key.loc[vital] = df.loc[vital, "canonical_name"] + "_" + vals
+    pat = df["label"] == "Patient"
+    if pat.any():
+        pnums = df.loc[pat, "properties"].str.extract(
+            r'"patient_number":"([^"]*)"', expand=False)
+        key.loc[pat] = pnums.where(pnums.notna(), df.loc[pat, "canonical_name"])
+    df["key"] = key
+
+    df = df.sort_values("order_key", kind="stable").drop_duplicates(
+        subset=["label", "key"], keep="first"
+    )
+    # full projection only for the winners (first writer's properties)
+    projected = [
+        props_to_json(project_entity_props(l, c, json.loads(p) if p else {})[1])
+        for l, c, p in zip(df["label"], df["canonical_name"], df["properties"])
+    ]
+    return pa.table({
+        "label": pa.array(df["label"], type=pa.string()),
+        "key": pa.array(df["key"], type=pa.string()),
+        "properties": pa.array(projected, type=pa.string()),
+        "order_key": pa.array(df["order_key"], type=pa.string()),
+    })
 
 
 _ENTITY_CAND_SCHEMA = pa.schema(
@@ -229,32 +242,48 @@ def remap_triples_batch(
     t = batch.filter(pc.equal(batch.column("kind"), "t"))
     if t.num_rows == 0:
         return pa.Table.from_pylist([], schema=_TRIPLE_FLAT_SCHEMA)
-    cols = {c: t.column(c).to_pylist()
-            for c in ("subj", "subj_label", "pred", "obj", "obj_label",
-                      "confidence", "props", "chunk_id")}
-    best: dict[tuple, dict] = {}
-    for subj, sl, pred, obj, ol, conf, props_json, chunk_id in zip(
-        cols["subj"], cols["subj_label"], cols["pred"], cols["obj"],
-        cols["obj_label"], cols["confidence"], cols["props"], cols["chunk_id"],
-    ):
-        subj_c = subj if sl == "Patient" else name_map.get(subj, subj)
-        obj_c = obj if ol == "Patient" else name_map.get(obj, obj)
-        if ol == "Vital":
-            props = json.loads(props_json) if props_json else {}
-            obj_c = f"{obj_c}_{props.get('value', '')}"  # vital_id (graph_writer.py:270)
-        if (sl, subj_c) not in entity_keys or (ol, obj_c) not in entity_keys:
-            continue  # dangling endpoint -> silent drop (J2)
-        k = (subj_c, pred, obj_c)
-        prev = best.get(k)
-        if prev is None:
-            best[k] = {"subj": subj_c, "subj_label": sl, "pred": pred, "obj": obj_c,
-                       "obj_label": ol, "confidence": conf, "chunk_id": chunk_id}
-        else:
-            if conf > prev["confidence"]:
-                prev["confidence"] = conf
-            if chunk_id < prev["chunk_id"]:
-                prev["chunk_id"] = chunk_id
-    return pa.Table.from_pylist(list(best.values()), schema=_TRIPLE_FLAT_SCHEMA)
+    df = t.select(["subj", "subj_label", "pred", "obj", "obj_label",
+                   "confidence", "props", "chunk_id"]).to_pandas()
+
+    is_pat_s = df["subj_label"] == "Patient"
+    mapped_s = df["subj"].map(name_map)
+    df["subj"] = df["subj"].where(is_pat_s, mapped_s.where(mapped_s.notna(), df["subj"]))
+    is_pat_o = df["obj_label"] == "Patient"
+    mapped_o = df["obj"].map(name_map)
+    df["obj"] = df["obj"].where(is_pat_o, mapped_o.where(mapped_o.notna(), df["obj"]))
+
+    # vital_id = "{canonical}_{value}" from the relationship props
+    # (graph_writer.py:270); only Vital rows pay the JSON parse
+    vital = df["obj_label"] == "Vital"
+    if vital.any():
+        vals = df.loc[vital, "props"].map(
+            lambda p: (json.loads(p).get("value", "") if p else "")
+        )
+        df.loc[vital, "obj"] = df.loc[vital, "obj"] + "_" + vals
+
+    # dangling-endpoint semi-join against the broadcast entity key set (J2)
+    skey = df["subj_label"] + "\x1f" + df["subj"]
+    okey = df["obj_label"] + "\x1f" + df["obj"]
+    df = df[skey.isin(entity_keys) & okey.isin(entity_keys)]
+    if df.empty:
+        return pa.Table.from_pylist([], schema=_TRIPLE_FLAT_SCHEMA)
+
+    # per-batch partial (subj, pred, obj) reduce: max conf, min witness chunk
+    agg = df.groupby(["subj", "pred", "obj"], sort=False).agg(
+        subj_label=("subj_label", "first"),
+        obj_label=("obj_label", "first"),
+        confidence=("confidence", "max"),
+        chunk_id=("chunk_id", "min"),
+    ).reset_index()
+    return pa.table({
+        "subj": pa.array(agg["subj"], type=pa.string()),
+        "subj_label": pa.array(agg["subj_label"], type=pa.string()),
+        "pred": pa.array(agg["pred"], type=pa.string()),
+        "obj": pa.array(agg["obj"], type=pa.string()),
+        "obj_label": pa.array(agg["obj_label"], type=pa.string()),
+        "confidence": pa.array(agg["confidence"], type=pa.float32()),
+        "chunk_id": pa.array(agg["chunk_id"], type=pa.string()),
+    })
 
 
 _TRIPLE_FLAT_SCHEMA = pa.schema(
