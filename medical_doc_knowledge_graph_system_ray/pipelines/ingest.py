@@ -256,11 +256,16 @@ class IngestPipeline:
         name_map = self.build_name_map()
         name_map_ref = ray.put(name_map)
 
-        # mentions table and entity candidates both derive from the remapped
-        # extraction and are independent of each other -> run concurrently
+        # Phase A — the two heavy extraction scans run CONCURRENTLY:
+        #   mentions table (remap + chunk-local dedup), and
+        #   triples_raw (endpoint remap + partial (s,p,o) dedup, semi-join
+        #   deferred because the entities table doesn't exist yet)
         RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)
         mention_cols = ["kind", "chunk_id", "doc_id", "order_key", "name",
                         "label", "method", "confidence", "props"]
+        triple_cols = ["kind", "chunk_id", "subj", "subj_label", "pred",
+                       "obj", "obj_label", "confidence", "props"]
+        RemapTriplesNoJoin = mat.make_remap_triples_fn(name_map_ref, None, cfg)
 
         def mentions_stage():
             # no global groupby: dedup is chunk-local
@@ -273,40 +278,49 @@ class IngestPipeline:
                 finalize_fn=_props_json_to_map,
             )
 
-        def entities_stage():
-            # per-batch partial first-writer (combiner); the global reduce is
-            # vectorized inside the bucketed write (bucket key = entity key
-            # co-locates every candidate of a (label, key))
+        def triples_raw_stage():
             self._write_stage(
-                "entities",
-                lambda: (
-                    self._extraction_ds(mention_cols)
-                    .map_batches(RemapMentions, batch_format="pyarrow")
-                    .map_batches(mat.entity_candidates_batch, batch_format="pyarrow")
+                "triples_raw",
+                lambda: self._extraction_ds(triple_cols).map_batches(
+                    RemapTriplesNoJoin, batch_format="pyarrow"
                 ),
-                "key", ["label", "key"], ENTITIES_SCHEMA_FINAL, "entities",
-                finalize_fn=lambda t: _props_json_to_map(mat.entity_finalize_partition(t)),
+                "subj", ["subj", "pred", "obj"], None, "triples_raw",
+                finalize_fn=mat.triple_finalize_partition,
             )
 
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=2) as pool:
-            futs = [pool.submit(mentions_stage), pool.submit(entities_stage)]
-            for f in futs:
+            for f in [pool.submit(mentions_stage), pool.submit(triples_raw_stage)]:
                 f.result()
+
+        # Phase B — entities from the mentions table (already remapped +
+        # deduped); per-batch partial first-writer (combiner), global reduce
+        # vectorized inside the bucketed write (bucket key = entity key
+        # co-locates every candidate of a (label, key))
+        self._write_stage(
+            "entities",
+            lambda: (
+                rd.read_parquet(os.path.join(self.out, "mentions"),
+                                columns=["canonical_name", "label", "order_key",
+                                         "extraction_method", "properties"])
+                .map_batches(mat.entity_candidates_from_mentions_batch,
+                             batch_format="pyarrow")
+            ),
+            "key", ["label", "key"], ENTITIES_SCHEMA_FINAL, "entities",
+            finalize_fn=lambda t: _props_json_to_map(mat.entity_finalize_partition(t)),
+        )
 
         entity_keys = self._collect_entity_keys()
         entity_keys_ref = ray.put(entity_keys)
 
-        # triples: remap + partial dedup per batch, vectorized global reduce
-        # inside the bucketed write (bucket key = subj co-locates each s,p,o)
-        RemapTriples = mat.make_remap_triples_fn(name_map_ref, entity_keys_ref, cfg)
-        triple_cols = ["kind", "chunk_id", "subj", "subj_label", "pred",
-                       "obj", "obj_label", "confidence", "props"]
+        # Phase C — cheap pass over the pre-reduced triples_raw: dangling
+        # semi-join (J2) + final per-partition reduce
+        FilterDangling = mat.make_dangling_filter_fn(entity_keys_ref)
         self._write_stage(
             "triples",
-            lambda: self._extraction_ds(triple_cols).map_batches(
-                RemapTriples, batch_format="pyarrow"
+            lambda: rd.read_parquet(os.path.join(self.out, "triples_raw")).map_batches(
+                FilterDangling, batch_format="pyarrow"
             ),
             "subj", ["subj", "pred", "obj"], TRIPLES_SCHEMA, "triples",
             finalize_fn=mat.triple_finalize_partition,

@@ -160,6 +160,53 @@ def entity_candidates_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def entity_candidates_from_mentions_batch(batch: pa.Table) -> pa.Table:
+    """Entity candidates from the materialized mentions table (map-typed
+    properties). Same semantics as entity_candidates_batch; key fields are
+    pulled from the map column with the vectorized map_lookup kernel, and
+    only per-batch winner rows pay the map->dict conversion."""
+    props_col = batch.column("properties")
+    vals = pc.map_lookup(props_col, query_key="value", occurrence="first")
+    pnums = pc.map_lookup(props_col, query_key="patient_number", occurrence="first")
+    df = batch.select(["canonical_name", "label", "order_key",
+                       "extraction_method"]).to_pandas()
+    df["__value"] = vals.to_pandas().map(
+        lambda v: v[0] if isinstance(v, list) and v else (v if isinstance(v, str) else None)
+    )
+    df["__pnum"] = pnums.to_pandas().map(
+        lambda v: v[0] if isinstance(v, list) and v else (v if isinstance(v, str) else None)
+    )
+    df["__props"] = props_col.to_pandas()
+    df = df[~((df["label"] == "Patient") &
+              (df["extraction_method"] != "structured_json"))]
+    if df.empty:
+        return pa.Table.from_pylist([], schema=_ENTITY_CAND_SCHEMA)
+
+    key = df["canonical_name"].copy()
+    vital = df["label"] == "Vital"
+    if vital.any():
+        key.loc[vital] = (df.loc[vital, "canonical_name"] + "_" +
+                          df.loc[vital, "__value"].fillna(""))
+    pat = df["label"] == "Patient"
+    if pat.any():
+        pn = df.loc[pat, "__pnum"]
+        key.loc[pat] = pn.where(pn.notna(), df.loc[pat, "canonical_name"])
+    df["key"] = key
+    df = df.sort_values("order_key", kind="stable").drop_duplicates(
+        subset=["label", "key"], keep="first"
+    )
+    projected = [
+        props_to_json(project_entity_props(l, c, dict(p) if p is not None else {})[1])
+        for l, c, p in zip(df["label"], df["canonical_name"], df["__props"])
+    ]
+    return pa.table({
+        "label": pa.array(df["label"], type=pa.string()),
+        "key": pa.array(df["key"], type=pa.string()),
+        "properties": pa.array(projected, type=pa.string()),
+        "order_key": pa.array(df["order_key"], type=pa.string()),
+    })
+
+
 _ENTITY_CAND_SCHEMA = pa.schema(
     [
         ("label", pa.string()),
@@ -235,10 +282,12 @@ def triple_finalize_partition(t: pa.Table) -> pa.Table:
 
 
 def remap_triples_batch(
-    batch: pa.Table, name_map: dict[str, str], entity_keys: set[tuple[str, str]]
+    batch: pa.Table, name_map: dict[str, str], entity_keys: set[str] | None
 ) -> pa.Table:
-    """kind=='t' rows -> resolved triple rows; dangling endpoints dropped;
-    per-batch partial (subj, pred, obj) reduce (max conf, min chunk_id)."""
+    """kind=='t' rows -> resolved triple rows; dangling endpoints dropped
+    (skipped when entity_keys is None — the anti-join then runs later as a
+    separate cheap pass over the partially-reduced rows); per-batch partial
+    (subj, pred, obj) reduce (max conf, min chunk_id)."""
     t = batch.filter(pc.equal(batch.column("kind"), "t"))
     if t.num_rows == 0:
         return pa.Table.from_pylist([], schema=_TRIPLE_FLAT_SCHEMA)
@@ -261,10 +310,11 @@ def remap_triples_batch(
         )
         df.loc[vital, "obj"] = df.loc[vital, "obj"] + "_" + vals
 
-    # dangling-endpoint semi-join against the broadcast entity key set (J2)
-    skey = df["subj_label"] + "\x1f" + df["subj"]
-    okey = df["obj_label"] + "\x1f" + df["obj"]
-    df = df[skey.isin(entity_keys) & okey.isin(entity_keys)]
+    if entity_keys is not None:
+        # dangling-endpoint semi-join against the broadcast entity key set (J2)
+        skey = df["subj_label"] + "\x1f" + df["subj"]
+        okey = df["obj_label"] + "\x1f" + df["obj"]
+        df = df[skey.isin(entity_keys) & okey.isin(entity_keys)]
     if df.empty:
         return pa.Table.from_pylist([], schema=_TRIPLE_FLAT_SCHEMA)
 
@@ -344,9 +394,29 @@ def make_remap_mentions_fn(name_map_ref, cfg: PipelineConfig):
 
 
 def make_remap_triples_fn(name_map_ref, entity_keys_ref, cfg: PipelineConfig):
+    """entity_keys_ref=None defers the dangling semi-join to a later pass
+    (make_dangling_filter_fn), letting the heavy remap scan run before the
+    entities table exists."""
+
     def remap_triples(batch: pa.Table) -> pa.Table:
-        return remap_triples_batch(
-            batch, fetch_broadcast(name_map_ref), fetch_broadcast(entity_keys_ref)
-        )
+        keys = fetch_broadcast(entity_keys_ref) if entity_keys_ref is not None else None
+        return remap_triples_batch(batch, fetch_broadcast(name_map_ref), keys)
 
     return remap_triples
+
+
+def make_dangling_filter_fn(entity_keys_ref):
+    """Stage factory: vectorized dangling-endpoint semi-join over triple
+    rows (J2) against the broadcast entity key set."""
+
+    def filter_dangling(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        keys = fetch_broadcast(entity_keys_ref)
+        df = batch.to_pandas()
+        skey = df["subj_label"] + "\x1f" + df["subj"]
+        okey = df["obj_label"] + "\x1f" + df["obj"]
+        return pa.Table.from_pandas(df[skey.isin(keys) & okey.isin(keys)],
+                                    preserve_index=False)
+
+    return filter_dangling
