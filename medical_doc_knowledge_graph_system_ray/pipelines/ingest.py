@@ -44,7 +44,7 @@ from ..schemas import (
     TRIPLES_SCHEMA,
     json_col_to_map_array,
 )
-from ..sources.io import read_table_dir, write_partitioned
+from ..sources.io import read_table_dir, write_partitioned, write_partitioned_multi
 from ..state.manifest import Manifest
 from ..stages import materialize as mat
 from ..stages.chunking import chunk_batch, spans_batch
@@ -234,65 +234,74 @@ class IngestPipeline:
             t.start()
             side_threads.append(t)
 
-        if with_chunks_table:
-            side(lambda: self._write_stage(
-                "chunks",
-                lambda: rd.read_parquet(self.docs_path).map_batches(
-                    lambda b: chunk_batch(b, cfg), batch_format="pyarrow",
-                    batch_size=cfg.chunk_batch_size,
-                ),
-                "doc_id", ["doc_id", "seq"], CHUNKS_SCHEMA, "chunks",
-            ))
-        if with_spans:
-            side(lambda: self._write_stage(
-                "spans",
-                lambda: rd.read_parquet(self.docs_path).map_batches(
-                    spans_batch, batch_format="pyarrow"
-                ),
-                "doc_id", ["doc_id", "span_seq"], SPANS_SCHEMA, "spans",
-            ))
+        # chunks + spans: ONE documents scan, one multi-output exchange
+        def chunks_spans_stage():
+            units = []
+            if with_chunks_table:
+                units.append("chunks")
+            if with_spans:
+                units.append("spans")
+            if not units or all(self.manifest.is_committed(u) for u in units):
+                return
+            t0 = time.time()
+            specs = []
+            if with_chunks_table:
+                specs.append({"name": "chunks",
+                              "path": os.path.join(self.out, "chunks"),
+                              "row_fn": lambda b: chunk_batch(b, cfg),
+                              "key_col": "doc_id", "sort_keys": ["doc_id", "seq"],
+                              "schema": CHUNKS_SCHEMA, "finalize_fn": None,
+                              "num_partitions": cfg.num_output_partitions})
+            if with_spans:
+                specs.append({"name": "spans",
+                              "path": os.path.join(self.out, "spans"),
+                              "row_fn": spans_batch,
+                              "key_col": "doc_id", "sort_keys": ["doc_id", "span_seq"],
+                              "schema": SPANS_SCHEMA, "finalize_fn": None,
+                              "num_partitions": cfg.num_output_partitions})
+            results = write_partitioned_multi(rd.read_parquet(self.docs_path), specs)
+            secs = round(time.time() - t0, 3)
+            for name, rows in results.items():
+                self.manifest.commit(name, {
+                    "stage": name, "partitions": rows,
+                    "rows": sum(r["rows"] for r in rows), "seconds": secs,
+                })
+
+        side(chunks_spans_stage)
 
         self.run_extraction()
         name_map = self.build_name_map()
         name_map_ref = ray.put(name_map)
 
-        # Phase A — the two heavy extraction scans run CONCURRENTLY:
-        #   mentions table (remap + chunk-local dedup), and
-        #   triples_raw (endpoint remap + partial (s,p,o) dedup, semi-join
-        #   deferred because the entities table doesn't exist yet)
+        # Phase A — ONE materialization of extraction feeds BOTH heavy
+        # outputs through a single multi-output exchange:
+        #   mentions table (remap + chunk-local dedup, bucketed by chunk_id)
+        #   triples_raw  (endpoint remap + partial (s,p,o) dedup, bucketed by
+        #   subj; dangling semi-join deferred — entities don't exist yet)
         RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)
-        mention_cols = ["kind", "chunk_id", "doc_id", "order_key", "name",
-                        "label", "method", "confidence", "props"]
-        triple_cols = ["kind", "chunk_id", "subj", "subj_label", "pred",
-                       "obj", "obj_label", "confidence", "props"]
         RemapTriplesNoJoin = mat.make_remap_triples_fn(name_map_ref, None, cfg)
-
-        def mentions_stage():
-            # no global groupby: dedup is chunk-local
-            self._write_stage(
-                "mentions",
-                lambda: self._extraction_ds(mention_cols).map_batches(
-                    RemapMentions, batch_format="pyarrow"
-                ),
-                "chunk_id", ["order_key"], MENTIONS_SCHEMA_FINAL, "mentions",
-                finalize_fn=_props_json_to_map,
-            )
-
-        def triples_raw_stage():
-            self._write_stage(
-                "triples_raw",
-                lambda: self._extraction_ds(triple_cols).map_batches(
-                    RemapTriplesNoJoin, batch_format="pyarrow"
-                ),
-                "subj", ["subj", "pred", "obj"], None, "triples_raw",
-                finalize_fn=mat.triple_finalize_partition,
-            )
-
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            for f in [pool.submit(mentions_stage), pool.submit(triples_raw_stage)]:
-                f.result()
+        if not (self.manifest.is_committed("mentions")
+                and self.manifest.is_committed("triples_raw")):
+            t0 = time.time()
+            specs = [
+                {"name": "mentions", "path": os.path.join(self.out, "mentions"),
+                 "row_fn": RemapMentions, "key_col": "chunk_id",
+                 "sort_keys": ["order_key"], "schema": MENTIONS_SCHEMA_FINAL,
+                 "finalize_fn": _props_json_to_map,
+                 "num_partitions": cfg.num_output_partitions},
+                {"name": "triples_raw", "path": os.path.join(self.out, "triples_raw"),
+                 "row_fn": RemapTriplesNoJoin, "key_col": "subj",
+                 "sort_keys": ["subj", "pred", "obj"], "schema": None,
+                 "finalize_fn": mat.triple_finalize_partition,
+                 "num_partitions": cfg.num_output_partitions},
+            ]
+            results = write_partitioned_multi(self._extraction_ds(), specs)
+            secs = round(time.time() - t0, 3)
+            for name, rows in results.items():
+                self.manifest.commit(name, {
+                    "stage": name, "partitions": rows,
+                    "rows": sum(r["rows"] for r in rows), "seconds": secs,
+                })
 
         # Phase B — entities from the mentions table (already remapped +
         # deduped); per-batch partial first-writer (combiner), global reduce

@@ -257,6 +257,28 @@ def q_events_hourly(sf_dir: str):
     return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
 
 
+def q_event_sessions(sf_dir: str):
+    """Session windows (gap 30 min) per user over the events log."""
+    from ..stages.windows import sessionize
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = sessionize(ds, gap_seconds=1800.0).to_pandas()
+    return out.sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
+def q_events_asof_signup(sf_dir: str):
+    """As-of join: each 'error' event matched to the user's most recent
+    prior 'signup' event."""
+    from ..stages.windows import asof_join_per_user
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    out = asof_join_per_user(ds).to_pandas()
+    out["asof_event_id"] = out["asof_event_id"].astype("float64")
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def q_embedding_topk(sf_dir: str):
     from ..stages.similarity import brute_force_topk
 
@@ -409,6 +431,8 @@ QUERIES = {
     "doc_char_stats": q_doc_char_stats,
     "top_users_by_value": q_top_users_by_value,
     "events_hourly": q_events_hourly,
+    "event_sessions": q_event_sessions,
+    "events_asof_signup": q_events_asof_signup,
     "embedding_topk": q_embedding_topk,
     "region_customer_counts": q_region_customer_counts,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -440,6 +464,24 @@ ORACLE_SQL = {
     "events_hourly": (
         "SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, "
         "round(sum(value), 4) AS total FROM events GROUP BY 1, 2 ORDER BY hour, event_type"
+    ),
+    "event_sessions": (
+        "WITH marks AS (SELECT user_id, event_id, ts, value, "
+        "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "> INTERVAL 1800 SECOND OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "IS NULL THEN 1 ELSE 0 END AS new_s FROM events), "
+        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM marks) "
+        "SELECT user_id, session_idx, min(ts) AS session_start, "
+        "count(*) AS n_events, round(sum(value), 4) AS total_value "
+        "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+    ),
+    "events_asof_signup": (
+        "SELECT e.event_id, e.user_id, e.ts, "
+        "CAST(s.event_id AS DOUBLE) AS asof_event_id, s.ts AS asof_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s "
+        "ON e.user_id = s.user_id AND e.ts >= s.ts ORDER BY e.event_id"
     ),
     "embedding_topk": (
         "SELECT vec_id, round(list_cosine_similarity(embedding, "

@@ -112,6 +112,95 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
     return sorted(ray.get(manifest_refs), key=lambda r: r["partition"])
 
 
+def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
+    """One scan, several partitioned table outputs.
+
+    Each spec: {name, path, row_fn(block)->Table, key_col, sort_keys,
+    schema, finalize_fn}. The source dataset is materialized ONCE; a
+    single split task per block applies every spec's row transform and
+    emits P bucket slices per spec (num_returns = len(specs)*P); one
+    write task per (spec, bucket) concats/finalizes/sorts/writes.
+
+    This is the engine's widest exchange: it exists so sibling tables
+    derived from the same scan (mentions+triples_raw from extraction,
+    chunks+spans from documents) never re-read or re-materialize the
+    source, and never run as two competing streaming executors.
+    """
+    import ray
+
+    S = len(specs)
+    P0 = specs[0].get("num_partitions")
+    for sp in specs:
+        sp.setdefault("num_partitions", P0)
+    total_returns = sum(sp["num_partitions"] for sp in specs)
+    row_fns = [sp["row_fn"] for sp in specs]
+    key_cols = [sp["key_col"] for sp in specs]
+    parts = [sp["num_partitions"] for sp in specs]
+
+    @ray.remote(num_returns=total_returns)
+    def split_block(block: pa.Table):
+        import numpy as np
+
+        outs = []
+        for fn, key_col, P in zip(row_fns, key_cols, parts):
+            t = fn(block) if fn is not None else block
+            if t.num_rows == 0:
+                outs.extend([t] * P)
+                continue
+            b = np.asarray(bucket_of(t.column(key_col).to_pylist(), P))
+            for k in range(P):
+                idx = np.nonzero(b == k)[0]
+                outs.append(t.take(pa.array(idx)) if len(idx) else t.slice(0, 0))
+        return tuple(outs) if total_returns > 1 else outs[0]
+
+    @ray.remote
+    def write_bucket(spec_idx: int, bucket: int, *blocks: pa.Table) -> dict:
+        sp = specs[spec_idx]
+        tables = [t for t in blocks if t is not None and t.num_rows > 0]
+        if tables:
+            t = pa.concat_tables(tables, promote_options="default")
+        elif blocks:
+            t = blocks[0]
+        else:
+            t = pa.Table.from_pylist([], schema=sp["schema"])
+        if sp.get("finalize_fn") is not None:
+            t = sp["finalize_fn"](t)
+        if sp.get("schema") is not None:
+            t = t.select(sp["schema"].names).cast(sp["schema"])
+        return write_table_partition(t, sp["path"], bucket, sp["sort_keys"])
+
+    block_refs = ds.to_arrow_refs()
+    results: dict[str, list[dict]] = {}
+    if not block_refs:
+        for sp in specs:
+            rows = []
+            for b in range(sp["num_partitions"]):
+                rows.append(write_table_partition(
+                    pa.Table.from_pylist([], schema=sp["schema"]),
+                    sp["path"], b, sp["sort_keys"]))
+            results[sp["name"]] = rows
+        return results
+
+    per_block = [split_block.remote(ref) for ref in block_refs]
+    if total_returns == 1:
+        per_block = [[r] for r in per_block]
+    manifest_refs = {}
+    offset = 0
+    for si, sp in enumerate(specs):
+        P = sp["num_partitions"]
+        manifest_refs[sp["name"]] = [
+            write_bucket.remote(si, k,
+                                *[pb[offset + k] for pb in per_block])
+            for k in range(P)
+        ]
+        offset += P
+    import ray as _ray
+
+    for name, refs in manifest_refs.items():
+        results[name] = sorted(_ray.get(refs), key=lambda r: r["partition"])
+    return results
+
+
 def read_table_dir(path: str) -> pa.Table:
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")

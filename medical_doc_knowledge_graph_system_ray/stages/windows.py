@@ -1,0 +1,68 @@
+"""Stream-shaped operators over an ordered, partitioned log (the
+`events` table): session windows and as-of joins.
+
+Ray Data has no event-time watermarks; the guide-sanctioned pattern is
+groupby(key).map_groups(fn) with the window/as-of logic running in
+pandas over the ts-sorted group. Ordering assumption: windows are
+computed per key over that key's complete, ts-sorted history — correct
+for batch logs; a live stream would need an actor per key-hash bucket
+holding open-window state.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def sessionize_group(g: pd.DataFrame, gap_seconds: float) -> pd.DataFrame:
+    """Assign session ids within one user's ts-sorted events: a gap >
+    gap_seconds starts a new session."""
+    g = g.sort_values(["ts", "event_id"], kind="stable")
+    new_session = (g["ts"].diff().dt.total_seconds() > gap_seconds).fillna(True)
+    g["session_idx"] = new_session.cumsum().astype("int64") - 1
+    return g
+
+
+def sessionize(ds, gap_seconds: float = 1800.0):
+    """events -> per-session aggregate rows (user_id, session_idx,
+    session_start, n_events, total_value)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = sessionize_group(g, gap_seconds)
+        out = g.groupby("session_idx", sort=True).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "count"),
+            total_value=("value", "sum"),
+        ).reset_index()
+        out["total_value"] = out["total_value"].round(4)
+        return out[["user_id", "session_idx", "session_start", "n_events", "total_value"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def asof_join_per_user(ds, right_type: str = "signup", left_type: str = "error"):
+    """For each `left_type` event, the most recent prior-or-equal
+    `right_type` event of the same user (pd.merge_asof per user group) —
+    the as-of join re-expressed as groupby + sorted merge."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == left_type].sort_values("ts", kind="stable")
+        right = g[g["event_type"] == right_type].sort_values("ts", kind="stable")
+        if left.empty:
+            return pd.DataFrame({
+                "event_id": pd.Series(dtype="int64"),
+                "user_id": pd.Series(dtype="int64"),
+                "ts": pd.Series(dtype="datetime64[us]"),
+                "asof_event_id": pd.Series(dtype="float64"),
+                "asof_ts": pd.Series(dtype="datetime64[us]"),
+            })
+        merged = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["event_id", "ts"]].rename(
+                columns={"event_id": "asof_event_id", "ts": "asof_ts"}),
+            left_on="ts", right_on="asof_ts", direction="backward",
+        )
+        return merged[["event_id", "user_id", "ts", "asof_event_id", "asof_ts"]]
+
+    return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
