@@ -125,7 +125,12 @@ class IngestPipeline:
                     concurrency=(1, cfg.extract_concurrency),
                 )
             )
-            ds.write_parquet(tmp_dir)
+            try:
+                # fewer, bigger files: downstream scan parallelism comes from
+                # row groups/blocks, not from thousands of tiny files
+                ds.write_parquet(tmp_dir, min_rows_per_file=200_000)
+            except TypeError:  # older Ray releases
+                ds.write_parquet(tmp_dir)
             os.replace(tmp_dir, shard_dir)
             n_rows = sum(
                 pq.read_metadata(os.path.join(shard_dir, f)).num_rows

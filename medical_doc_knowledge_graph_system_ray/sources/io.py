@@ -65,9 +65,12 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
     P = num_partitions
 
     @ray.remote(num_returns=P)
-    def split_block(block: pa.Table):
+    def split_block(*blocks: pa.Table):
         import numpy as np
 
+        block = pa.concat_tables([b for b in blocks if b.num_rows > 0],
+                                 promote_options="default") \
+            if any(b.num_rows for b in blocks) else blocks[0]
         if block.num_rows == 0:
             empty = block.slice(0, 0)
             return tuple(empty for _ in range(P)) if P > 1 else empty
@@ -93,7 +96,7 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
             t = t.select(schema.names).cast(schema)
         return write_table_partition(t, path, bucket, sort_keys)
 
-    block_refs = ds.to_arrow_refs()  # executes the upstream pipeline
+    block_refs = _grouped_refs(ds)
     if not block_refs:
         rows = []
         if schema is not None:
@@ -102,7 +105,7 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
                     pa.Table.from_pylist([], schema=schema), path, b, sort_keys))
         return rows
 
-    per_block = [split_block.remote(ref) for ref in block_refs]
+    per_block = [split_block.remote(*grp) for grp in block_refs]
     if P == 1:
         per_block = [[r] for r in per_block]
     manifest_refs = [
@@ -110,6 +113,23 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
         for k in range(P)
     ]
     return sorted(ray.get(manifest_refs), key=lambda r: r["partition"])
+
+
+# target number of split tasks per exchange: bounds the shuffle's object
+# count at (splits x P) regardless of how many tiny blocks the upstream
+# produced (1000 blocks x 64 returns would otherwise flood the object
+# store with tens of thousands of slices)
+_TARGET_SPLITS = 64
+
+
+def _grouped_refs(ds) -> list[list]:
+    """Materialize the dataset and group its block refs so the exchange
+    runs ~_TARGET_SPLITS split tasks, each concatenating its group."""
+    refs = ds.to_arrow_refs()
+    if not refs:
+        return []
+    g = max(1, (len(refs) + _TARGET_SPLITS - 1) // _TARGET_SPLITS)
+    return [refs[i : i + g] for i in range(0, len(refs), g)]
 
 
 def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
@@ -138,9 +158,12 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
     parts = [sp["num_partitions"] for sp in specs]
 
     @ray.remote(num_returns=total_returns)
-    def split_block(block: pa.Table):
+    def split_block(*blocks: pa.Table):
         import numpy as np
 
+        block = pa.concat_tables([b for b in blocks if b.num_rows > 0],
+                                 promote_options="default") \
+            if any(b.num_rows for b in blocks) else blocks[0]
         outs = []
         for fn, key_col, P in zip(row_fns, key_cols, parts):
             t = fn(block) if fn is not None else block
@@ -169,7 +192,7 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
             t = t.select(sp["schema"].names).cast(sp["schema"])
         return write_table_partition(t, sp["path"], bucket, sp["sort_keys"])
 
-    block_refs = ds.to_arrow_refs()
+    block_refs = _grouped_refs(ds)
     results: dict[str, list[dict]] = {}
     if not block_refs:
         for sp in specs:
@@ -181,7 +204,7 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
             results[sp["name"]] = rows
         return results
 
-    per_block = [split_block.remote(ref) for ref in block_refs]
+    per_block = [split_block.remote(*grp) for grp in block_refs]
     if total_returns == 1:
         per_block = [[r] for r in per_block]
     manifest_refs = {}
