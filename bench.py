@@ -31,7 +31,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # bench corpus size per sf tag (patients; docs ~= 3x). Sized so real
 # compute dominates fixed per-job costs — the scaling-efficiency
 # criterion is meaningless on a corpus that finishes in seconds.
-BENCH_PATIENTS = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 100000}
+BENCH_PATIENTS = {"sf0.001": 200, "sf0.01": 2000, "sf0.1": 200000}
 
 
 def run_bench() -> dict:

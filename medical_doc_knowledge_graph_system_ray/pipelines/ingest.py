@@ -158,7 +158,7 @@ class IngestPipeline:
             cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             cluster_cpus = 4
-        workers = max(1, min(4, cluster_cpus // 4, cfg.num_shards))
+        workers = max(1, min(4, cluster_cpus // 8, cfg.num_shards)) if cluster_cpus >= 16 else 1
         pending = [s for s in range(cfg.num_shards)
                    if not self.manifest.is_committed(f"extraction_shard_{s:04d}")]
         if workers <= 1 or len(pending) <= 1:
@@ -362,18 +362,32 @@ class IngestPipeline:
                 zip(t.column("label").to_pylist(), t.column("key").to_pylist())}
 
     def graph_stats(self) -> dict:
-        """G6 analog: node/edge counts + per-label counts (queries.py:185-195)."""
-        ents = read_table_dir(os.path.join(self.out, "entities"))
-        tris = read_table_dir(os.path.join(self.out, "triples"))
-        by_label = {}
-        if ents is not None and ents.num_rows:
-            vc = pc.value_counts(ents.column("label"))
-            by_label = {
-                d["values"]: d["counts"] for d in vc.to_pylist()
-            }
+        """G6 analog: node/edge counts + per-label counts (queries.py:185-195).
+
+        Row counts come from parquet footers (no data read); only the tiny
+        entity label column is actually scanned."""
+
+        def nrows(table: str) -> int:
+            tdir = os.path.join(self.out, table)
+            if not os.path.isdir(tdir):
+                return 0
+            return sum(pq.read_metadata(os.path.join(tdir, f)).num_rows
+                       for f in os.listdir(tdir) if f.endswith(".parquet"))
+
+        by_label: dict[str, int] = {}
+        n_entities = 0
+        tdir = os.path.join(self.out, "entities")
+        if os.path.isdir(tdir):
+            for f in sorted(os.listdir(tdir)):
+                if not f.endswith(".parquet"):
+                    continue
+                col = pq.read_table(os.path.join(tdir, f), columns=["label"])
+                n_entities += col.num_rows
+                for d in pc.value_counts(col.column("label")).to_pylist():
+                    by_label[d["values"]] = by_label.get(d["values"], 0) + d["counts"]
         return {
-            "entities": ents.num_rows if ents is not None else 0,
-            "triples": tris.num_rows if tris is not None else 0,
+            "entities": n_entities,
+            "triples": nrows("triples"),
             "entities_by_label": dict(sorted(by_label.items(), key=lambda kv: -kv[1])),
         }
 

@@ -88,7 +88,6 @@ def fuzzy_candidate_edges(
     blocks.update({f"=:{k}": v for k, v in by_form.items() if len(v) > 1})
 
     seen: set[tuple[int, int]] = set()
-    edges: list[tuple[str, str]] = []
     lowered = [n.lower() for n in names]
     for members in blocks.values():
         if len(members) < 2:
@@ -99,12 +98,32 @@ def fuzzy_candidate_edges(
                     a, b = bucket[ai], bucket[bi]
                     if a > b:
                         a, b = b, a
-                    if a == b or (a, b) in seen:
-                        continue
-                    seen.add((a, b))
-                    if token_sort_ratio(lowered[a], lowered[b]) >= threshold:
-                        edges.append((names[a], names[b]))
-    return edges
+                    if a != b:
+                        seen.add((a, b))
+    pairs = sorted(seen)
+
+    def verify(chunk: list[tuple[int, int]]) -> list[tuple[str, str]]:
+        return [
+            (names[a], names[b]) for a, b in chunk
+            if token_sort_ratio(lowered[a], lowered[b]) >= threshold
+        ]
+
+    # distribute the pairwise verification when the candidate set is large
+    # (patient-name blocks generate ~10^5 pairs at bench scale; the LCS
+    # kernel is pure-Python CPU and chunks are embarrassingly parallel)
+    if len(pairs) > 20_000:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                verify_remote = ray.remote(verify)
+                step = max(5_000, len(pairs) // 64)
+                futs = [verify_remote.remote(pairs[i : i + step])
+                        for i in range(0, len(pairs), step)]
+                return [e for part in ray.get(futs) for e in part]
+        except Exception:
+            pass
+    return verify(pairs)
 
 
 def semantic_edges(
