@@ -44,7 +44,8 @@ from ..schemas import (
     TRIPLES_SCHEMA,
     json_col_to_map_array,
 )
-from ..sources.io import read_table_dir, write_partitioned, write_partitioned_multi
+from ..sources.io import (map_partitions_write, read_table_dir, write_partitioned,
+                          write_partitioned_multi)
 from ..state.manifest import Manifest
 from ..stages import materialize as mat
 from ..stages.chunking import chunk_batch, spans_batch
@@ -328,17 +329,23 @@ class IngestPipeline:
         entity_keys = self._collect_entity_keys()
         entity_keys_ref = ray.put(entity_keys)
 
-        # Phase C — cheap pass over the pre-reduced triples_raw: dangling
-        # semi-join (J2) + final per-partition reduce
-        FilterDangling = mat.make_dangling_filter_fn(entity_keys_ref)
-        self._write_stage(
-            "triples",
-            lambda: rd.read_parquet(os.path.join(self.out, "triples_raw")).map_batches(
-                FilterDangling, batch_format="pyarrow"
-            ),
-            "subj", ["subj", "pred", "obj"], TRIPLES_SCHEMA, "triples",
-            finalize_fn=mat.triple_finalize_partition,
-        )
+        # Phase C — partition-preserving pass over the pre-reduced
+        # triples_raw (already bucketed by subj): dangling semi-join (J2)
+        # + final per-partition reduce, one task per partition, no exchange
+        if not self.manifest.is_committed("triples"):
+            t0 = time.time()
+            FilterDangling = mat.make_dangling_filter_fn(entity_keys_ref)
+            rows = map_partitions_write(
+                os.path.join(self.out, "triples_raw"),
+                os.path.join(self.out, "triples"),
+                lambda t: mat.triple_finalize_partition(FilterDangling(t)),
+                ["subj", "pred", "obj"], schema=TRIPLES_SCHEMA,
+            )
+            self.manifest.commit("triples", {
+                "stage": "triples", "partitions": rows,
+                "rows": sum(r["rows"] for r in rows),
+                "seconds": round(time.time() - t0, 3),
+            })
 
         for t in side_threads:
             t.join()

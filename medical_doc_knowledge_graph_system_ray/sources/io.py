@@ -128,8 +128,10 @@ def _grouped_refs(ds) -> list[list]:
     refs = ds.to_arrow_refs()
     if not refs:
         return []
-    g = max(1, (len(refs) + _TARGET_SPLITS - 1) // _TARGET_SPLITS)
-    return [refs[i : i + g] for i in range(0, len(refs), g)]
+    n_groups = min(_TARGET_SPLITS, len(refs))
+    # round-robin so consecutive (often size-correlated) blocks spread
+    # across split tasks instead of loading a few of them
+    return [refs[i::n_groups] for i in range(n_groups)]
 
 
 def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
@@ -222,6 +224,31 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
     for name, refs in manifest_refs.items():
         results[name] = sorted(_ray.get(refs), key=lambda r: r["partition"])
     return results
+
+
+def map_partitions_write(src_dir: str, dst_dir: str, fn, sort_keys: list[str],
+                         schema: pa.Schema | None = None) -> list[dict]:
+    """Partition-preserving transform: one Ray task per source partition
+    file applies ``fn`` and writes the same-numbered destination partition.
+    No exchange — valid whenever ``fn`` is row-local and the bucketing key
+    is unchanged (e.g. the triples dangling-filter + final reduce over
+    triples_raw, which is already bucketed by subj)."""
+    import ray
+
+    @ray.remote
+    def one(bucket: int, src_file: str) -> dict:
+        t = pq.read_table(src_file)
+        t = fn(t)
+        if schema is not None:
+            t = t.select(schema.names).cast(schema)
+        return write_table_partition(t, dst_dir, bucket, sort_keys)
+
+    futs = []
+    for f in sorted(os.listdir(src_dir)):
+        if f.endswith(".parquet"):
+            bucket = int(f.split("-")[1].split(".")[0])
+            futs.append(one.remote(bucket, os.path.join(src_dir, f)))
+    return sorted(ray.get(futs), key=lambda r: r["partition"])
 
 
 def read_table_dir(path: str) -> pa.Table:
