@@ -470,8 +470,8 @@ ORACLE_SQL = {
         "CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
         "> INTERVAL 1800 SECOND OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
         "IS NULL THEN 1 ELSE 0 END AS new_s FROM events), "
-        "sess AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS UNBOUNDED PRECEDING) - 1 AS session_idx FROM marks) "
+        "sess AS (SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx FROM marks) "
         "SELECT user_id, session_idx, min(ts) AS session_start, "
         "count(*) AS n_events, round(sum(value), 4) AS total_value "
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"

@@ -18,7 +18,9 @@ def sessionize_group(g: pd.DataFrame, gap_seconds: float) -> pd.DataFrame:
     """Assign session ids within one user's ts-sorted events: a gap >
     gap_seconds starts a new session."""
     g = g.sort_values(["ts", "event_id"], kind="stable")
-    new_session = (g["ts"].diff().dt.total_seconds() > gap_seconds).fillna(True)
+    new_session = g["ts"].diff().dt.total_seconds() > gap_seconds
+    if len(new_session):
+        new_session.iloc[0] = True  # NaN > gap is False, but row 0 opens a session
     g["session_idx"] = new_session.cumsum().astype("int64") - 1
     return g
 

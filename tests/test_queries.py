@@ -82,7 +82,10 @@ def test_sql_oracles_match(entrymod, con):
         for c in got.columns:
             a, b = got[c], want[c]
             if a.dtype.kind == "f" or b.dtype.kind == "f":
-                ok = ((a.astype(float) - b.astype(float)).abs() < 1e-6).all()
+                import numpy as np
+
+                ok = np.isclose(a.astype(float), b.astype(float),
+                                atol=1e-6, equal_nan=True).all()
             else:
                 ok = (a.astype(str) == b.astype(str)).all()
             if not ok:
