@@ -92,6 +92,18 @@ class IngestPipeline:
         cfg = self.cfg
         files = _list_parquet_files(self.docs_path)
         by_files = len(files) >= cfg.num_shards
+        try:
+            cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cluster_cpus = 4
+        workers = (max(1, min(4, cluster_cpus // 8, cfg.num_shards))
+                   if cluster_cpus >= 16 else 1)
+        # chunk+extract fuse into the actor pool, so pool size IS the shard's
+        # parallelism: start the pool near its target instead of ramping from
+        # 1 (leave >=1 CPU per job for the unfused read tasks)
+        cpus_per_job = max(2, cluster_cpus // workers)
+        pool_min = max(1, min(cfg.extract_concurrency, cpus_per_job - 1))
+        pool_max = max(pool_min, cfg.extract_concurrency)
 
         def run_shard(shard: int) -> None:
             unit = f"extraction_shard_{shard:04d}"
@@ -121,9 +133,10 @@ class IngestPipeline:
                     ExtractorActor,
                     batch_format="pyarrow",
                     batch_size=cfg.extract_batch_size,
-                    # autoscaling pool: a fixed pool sized to the whole node
-                    # starves the read stage and deadlocks small clusters
-                    concurrency=(1, cfg.extract_concurrency),
+                    # autoscaling pool: never the WHOLE node (a fully pinned
+                    # pool starves the read stage and deadlocks small
+                    # clusters), but started near target to skip the ramp
+                    concurrency=(pool_min, pool_max),
                 )
             )
             try:
@@ -151,15 +164,8 @@ class IngestPipeline:
             )
 
         # shards are independent jobs (separate commits = resume granularity);
-        # run a few concurrently so per-job fixed overhead doesn't serialize.
-        # Each concurrent job pins >= 1 actor + needs task slots — cap the
-        # thread count at cpus//4 or the pinned pools starve the read tasks
-        # and the whole cluster deadlocks.
-        try:
-            cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cluster_cpus = 4
-        workers = max(1, min(4, cluster_cpus // 8, cfg.num_shards)) if cluster_cpus >= 16 else 1
+        # run a few concurrently so per-job fixed overhead doesn't serialize —
+        # each job is sized to ~cpus_per_job via its pool bounds above.
         pending = [s for s in range(cfg.num_shards)
                    if not self.manifest.is_committed(f"extraction_shard_{s:04d}")]
         if workers <= 1 or len(pending) <= 1:
