@@ -101,13 +101,12 @@ class IngestPipeline:
         # chunk+extract fuse into the actor pool, so pool size IS the shard's
         # parallelism: start the pool near its target instead of ramping from
         # 1 (leave >=1 CPU per job for the unfused read tasks)
-        # floor = half the job's CPU share: skips most of the ramp while
-        # leaving headroom for the unfused read tasks and the concurrent
-        # chunks/spans side job (a floor of cpus-1 starves them: measured
-        # 2x end-to-end regression on an 8-CPU cluster)
-        cpus_per_job = max(2, cluster_cpus // workers)
-        pool_min = max(1, min(cfg.extract_concurrency, cpus_per_job // 2))
-        pool_max = max(pool_min, cfg.extract_concurrency)
+        # autoscaling floor of 1: empirically the best total-throughput
+        # config at both 8 and 32 CPUs — higher floors starve the unfused
+        # read tasks and the concurrent chunks/spans side job (measured up
+        # to 2x end-to-end regression on an 8-CPU cluster)
+        pool_min = 1
+        pool_max = cfg.extract_concurrency
 
         def run_shard(shard: int) -> None:
             unit = f"extraction_shard_{shard:04d}"
