@@ -99,9 +99,7 @@ class IngestPipeline:
         workers = (max(1, min(4, cluster_cpus // 8, cfg.num_shards))
                    if cluster_cpus >= 16 else 1)
         # chunk+extract fuse into the actor pool, so pool size IS the shard's
-        # parallelism: start the pool near its target instead of ramping from
-        # 1 (leave >=1 CPU per job for the unfused read tasks)
-        # autoscaling floor of 1: empirically the best total-throughput
+        # parallelism. Autoscaling floor of 1: empirically the best total-throughput
         # config at both 8 and 32 CPUs — higher floors starve the unfused
         # read tasks and the concurrent chunks/spans side job (measured up
         # to 2x end-to-end regression on an 8-CPU cluster)
