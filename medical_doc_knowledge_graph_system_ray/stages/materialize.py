@@ -115,54 +115,9 @@ def project_entity_props(label: str, canonical: str, props: dict) -> tuple[str, 
     return canonical, dict(props)
 
 
-def entity_candidates_batch(batch: pa.Table) -> pa.Table:
-    """Mention rows -> entity candidate rows, with a per-batch partial
-    first-writer reduce (combiner) on (label, key).
-
-    Vectorized: the entity key is derived without JSON parsing for every
-    label except Vital (key needs the reading value — extracted with a
-    vectorized regex) and Patient (key = patient_number); full property
-    projection (JSON parse) runs only for the per-batch winner rows."""
-    df = batch.select(["canonical_name", "label", "confidence", "properties",
-                       "order_key", "extraction_method"]).to_pandas()
-    # prose Patient mentions never become entities (graph_writer.py:146-147)
-    df = df[~((df["label"] == "Patient") &
-              (df["extraction_method"] != "structured_json"))]
-    if df.empty:
-        return pa.Table.from_pylist([], schema=_ENTITY_CAND_SCHEMA)
-
-    key = df["canonical_name"].copy()
-    vital = df["label"] == "Vital"
-    if vital.any():
-        vals = df.loc[vital, "properties"].str.extract(r'"value":"([^"]*)"',
-                                                       expand=False).fillna("")
-        key.loc[vital] = df.loc[vital, "canonical_name"] + "_" + vals
-    pat = df["label"] == "Patient"
-    if pat.any():
-        pnums = df.loc[pat, "properties"].str.extract(
-            r'"patient_number":"([^"]*)"', expand=False)
-        key.loc[pat] = pnums.where(pnums.notna(), df.loc[pat, "canonical_name"])
-    df["key"] = key
-
-    df = df.sort_values("order_key", kind="stable").drop_duplicates(
-        subset=["label", "key"], keep="first"
-    )
-    # full projection only for the winners (first writer's properties)
-    projected = [
-        props_to_json(project_entity_props(l, c, json.loads(p) if p else {})[1])
-        for l, c, p in zip(df["label"], df["canonical_name"], df["properties"])
-    ]
-    return pa.table({
-        "label": pa.array(df["label"], type=pa.string()),
-        "key": pa.array(df["key"], type=pa.string()),
-        "properties": pa.array(projected, type=pa.string()),
-        "order_key": pa.array(df["order_key"], type=pa.string()),
-    })
-
-
 def entity_candidates_from_mentions_batch(batch: pa.Table) -> pa.Table:
     """Entity candidates from the materialized mentions table (map-typed
-    properties). Same semantics as entity_candidates_batch; key fields are
+    properties). Key fields are
     pulled from the map column with the vectorized map_lookup kernel, and
     only per-batch winner rows pay the map->dict conversion."""
     props_col = batch.column("properties")
@@ -215,21 +170,6 @@ _ENTITY_CAND_SCHEMA = pa.schema(
         ("order_key", pa.string()),
     ]
 )
-
-
-def entity_reduce_group(group: pa.Table) -> pa.Table:
-    """Global first-writer-wins per (label, key)."""
-    idx = pc.sort_indices(group, sort_keys=[("order_key", "ascending")])[0].as_py()
-    row = group.slice(idx, 1)
-    eid = entity_id(row.column("label")[0].as_py(), row.column("key")[0].as_py())
-    return pa.table(
-        {
-            "entity_id": pa.array([eid]),
-            "label": row.column("label"),
-            "key": row.column("key"),
-            "properties": row.column("properties"),
-        }
-    )
 
 
 def entity_finalize_partition(t: pa.Table) -> pa.Table:
@@ -347,23 +287,6 @@ _TRIPLE_FLAT_SCHEMA = pa.schema(
         ("chunk_id", pa.string()),
     ]
 )
-
-
-def triple_reduce_group(group: pa.Table) -> pa.Table:
-    """Global (subj, pred, obj) reduce: max confidence, min witness chunk."""
-    conf = pc.max(group.column("confidence")).as_py()
-    chunk = pc.min(group.column("chunk_id")).as_py()
-    return pa.table(
-        {
-            "subj": group.column("subj").slice(0, 1),
-            "subj_label": group.column("subj_label").slice(0, 1),
-            "pred": group.column("pred").slice(0, 1),
-            "obj": group.column("obj").slice(0, 1),
-            "obj_label": group.column("obj_label").slice(0, 1),
-            "confidence": pa.array([conf], type=pa.float32()),
-            "chunk_id": pa.array([chunk]),
-        }
-    )
 
 
 # worker-global broadcast cache: ray.put once on the driver, ray.get +
