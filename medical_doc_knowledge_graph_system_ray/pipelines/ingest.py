@@ -147,11 +147,18 @@ class IngestPipeline:
             except TypeError:  # older Ray releases
                 ds.write_parquet(tmp_dir)
             os.replace(tmp_dir, shard_dir)
-            n_rows = sum(
-                pq.read_metadata(os.path.join(shard_dir, f)).num_rows
-                for f in os.listdir(shard_dir)
-                if f.endswith(".parquet")
-            )
+            n_rows = 0
+            shard_names: set[str] = set()
+            for f in os.listdir(shard_dir):
+                if not f.endswith(".parquet"):
+                    continue
+                fp = os.path.join(shard_dir, f)
+                n_rows += pq.read_metadata(fp).num_rows
+                # fold the distinct-name partial aggregate into the shard
+                # commit: the name-map barrier then needs no extra scan job
+                t = pq.read_table(fp, columns=["kind", "name"])
+                m = t.filter(pc.equal(t.column("kind"), "m"))
+                shard_names.update(m.column("name").unique().to_pylist())
             self.manifest.commit(
                 unit,
                 {
@@ -160,6 +167,7 @@ class IngestPipeline:
                                 "num_shards": cfg.num_shards,
                                 "files": files[shard :: cfg.num_shards] if by_files else "hash"},
                     "rows": n_rows,
+                    "distinct_names": sorted(shard_names),
                     "seconds": round(time.time() - t0, 3),
                 },
             )
@@ -189,7 +197,17 @@ class IngestPipeline:
             with open(path) as f:
                 return json.load(f)
         t0 = time.time()
-        names = distinct_mention_names(self._extraction_ds())
+        # distinct names come from the per-shard partial aggregates recorded
+        # at extraction commit time (no extra scan job); fall back to a
+        # Dataset distinct when any shard predates that field (e.g. resumed
+        # from an older manifest) — at extreme cardinality the manifest
+        # partials would be replaced by the distributed unique() anyway
+        shard_units = [self.manifest.read(f"extraction_shard_{s:04d}")
+                       for s in range(self.cfg.num_shards)]
+        if all(u and "distinct_names" in u for u in shard_units):
+            names = sorted({n for u in shard_units for n in u["distinct_names"]})
+        else:
+            names = distinct_mention_names(self._extraction_ds())
         name_map = build_name_map(names, self.cfg)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:

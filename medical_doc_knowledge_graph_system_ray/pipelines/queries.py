@@ -352,6 +352,37 @@ def q_lineitem_pricing_summary(sf_dir: str):
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
+def q_order_revenue_by_status(sf_dir: str):
+    """Large x large: partitioned hash join lineitem ⋈ orders on orderkey,
+    then revenue per order status (both sides shuffled by key bucket)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.joins import hash_join
+
+    left = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                           columns=["l_orderkey", "l_extendedprice", "l_discount"]) \
+        .rename_columns({"l_orderkey": "orderkey"})
+    right = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                            columns=["o_orderkey", "o_orderstatus"]) \
+        .rename_columns({"o_orderkey": "orderkey"})
+    joined = hash_join(left, right, on="orderkey", num_buckets=16)
+    out = (
+        rd.from_arrow(joined)
+        .map_batches(
+            lambda t: t.append_column(
+                "revenue",
+                pc.multiply(t.column("l_extendedprice"),
+                            pc.subtract(pa.scalar(1.0), t.column("l_discount")))),
+            batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("revenue", alias_name="total_revenue"),
+                   Count(alias_name="n_lines"))
+        .to_pandas()
+    )
+    out["total_revenue"] = out["total_revenue"].round(2)
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
 def q_minhash_dedup_docs(sf_dir: str):
     """Near-dup clustering (rows-only check: deterministic but not SQL)."""
     from ..stages.dedup import minhash_lsh_dedup
@@ -436,6 +467,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "region_customer_counts": q_region_customer_counts,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
+    "order_revenue_by_status": q_order_revenue_by_status,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "simhash_candidates": q_simhash_candidates,
     "quality_scores": q_quality_scores,
@@ -492,6 +524,11 @@ ORACLE_SQL = {
         "SELECT r.r_name AS region, count(*) AS n_customers FROM customer c "
         "JOIN nation n ON c.c_nationkey = n.n_nationkey "
         "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1 ORDER BY 1"
+    ),
+    "order_revenue_by_status": (
+        "SELECT o.o_orderstatus, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)"
+        " AS total_revenue, count(*) AS n_lines FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1 ORDER BY 1"
     ),
     "lineitem_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "
