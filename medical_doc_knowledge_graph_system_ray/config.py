@@ -42,6 +42,14 @@ class PipelineConfig:
                                            # LSH-blocked distributed path is used
     salt_buckets: int = 16                 # salt for skewed normalized surface forms
 
+    # ── dangling-endpoint semi-join (J2) ──────────────────────────────────
+    # "exact": broadcast the full entity key set (bit-exact vs the oracle;
+    # default). "bloom": broadcast a Bloom filter instead — the at-scale
+    # mode beyond ~10^8 entities (no false negatives; FP rate ~2^-k keeps
+    # a sliver of dangling triples). See DESIGN.md.
+    entity_filter_mode: str = "exact"
+    bloom_bits_per_key: int = 12
+
     # ── partitioned output / resume ───────────────────────────────────────
     num_shards: int = 8                    # input shards (resume granularity)
     num_output_partitions: int = 8         # hash partitions of final tables

@@ -352,7 +352,14 @@ class IngestPipeline:
         )
 
         entity_keys = self._collect_entity_keys()
-        entity_keys_ref = ray.put(entity_keys)
+        if cfg.entity_filter_mode == "bloom":
+            from ..functions.bloom import BloomFilter
+
+            bf = BloomFilter(len(entity_keys), cfg.bloom_bits_per_key)
+            bf.add_many(entity_keys)
+            entity_keys_ref = ray.put(bf)
+        else:
+            entity_keys_ref = ray.put(entity_keys)
 
         # Phase C — partition-preserving pass over the pre-reduced
         # triples_raw (already bucketed by subj): dangling semi-join (J2)

@@ -279,6 +279,21 @@ def q_events_asof_signup(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_error_or_signup_users(sf_dir: str):
+    """Set op: union of two filtered event streams, distinct user ids
+    (ds.union + unique — SURVEY.md §2.7)."""
+    path = os.path.join(sf_dir, "events.parquet")
+
+    def typed(t):
+        return rd.read_parquet(path, columns=["user_id", "event_type"]).map_batches(
+            lambda b, t=t: b.filter(pc.equal(b.column("event_type"), t)),
+            batch_format="pyarrow",
+        ).select_columns(["user_id"])
+
+    users = sorted(typed("error").union(typed("signup")).unique("user_id"))
+    return pd.DataFrame({"user_id": pd.Series(users, dtype="int64")})
+
+
 def q_embedding_topk(sf_dir: str):
     from ..stages.similarity import brute_force_topk
 
@@ -464,6 +479,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
     "events_asof_signup": q_events_asof_signup,
+    "error_or_signup_users": q_error_or_signup_users,
     "embedding_topk": q_embedding_topk,
     "region_customer_counts": q_region_customer_counts,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
@@ -507,6 +523,10 @@ ORACLE_SQL = {
         "SELECT user_id, session_idx, min(ts) AS session_start, "
         "count(*) AS n_events, round(sum(value), 4) AS total_value "
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+    ),
+    "error_or_signup_users": (
+        "SELECT user_id FROM events WHERE event_type = 'error' "
+        "UNION SELECT user_id FROM events WHERE event_type = 'signup' ORDER BY user_id"
     ),
     "events_asof_signup": (
         "SELECT e.event_id, e.user_id, e.ts, "

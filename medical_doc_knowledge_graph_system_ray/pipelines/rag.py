@@ -112,17 +112,30 @@ def both_strategies(out_dir: str, question: str, **kw) -> dict:
 # ── evaluation (E1-E5, G7, G8) ────────────────────────────────────────
 
 GOLD_QUESTIONS = [
-    # E1 analog: categories mirror the reference's five
+    # E1 analog: 11 questions across the reference's five categories
+    # (app/evaluation/questions.py:9-111)
     {"q": "What conditions does the patient have?", "cat": "single_hop",
      "expect_labels": ["Condition"]},
+    {"q": "What symptoms are documented in the notes?", "cat": "single_hop",
+     "expect_labels": ["Symptom"]},
+    {"q": "Which procedures are scheduled for the patient?", "cat": "single_hop",
+     "expect_labels": ["Procedure"]},
     {"q": "Which medications treat hypertension?", "cat": "relationship",
      "expect_labels": ["Medication", "Condition"]},
+    {"q": "Which conditions manifest as dizziness or fatigue?", "cat": "relationship",
+     "expect_labels": ["Condition", "Symptom"]},
     {"q": "Why does the patient report shortness of breath?", "cat": "multi_hop",
      "expect_labels": ["Symptom"]},
+    {"q": "How do the medications relate to the documented conditions?",
+     "cat": "multi_hop", "expect_labels": ["Medication", "Condition"]},
     {"q": "Where is the evidence for the hypertension diagnosis?", "cat": "provenance",
      "expect_labels": ["Condition"]},
+    {"q": "Which note section records the blood pressure reading?", "cat": "provenance",
+     "expect_labels": ["Vital"]},
     {"q": "Compare the risk factors and vital signs recorded.", "cat": "cross_reference",
      "expect_labels": ["RiskFactor", "Vital"]},
+    {"q": "Compare the conditions against the prescribed medications.",
+     "cat": "cross_reference", "expect_labels": ["Condition", "Medication"]},
 ]
 
 

@@ -330,7 +330,9 @@ def make_remap_triples_fn(name_map_ref, entity_keys_ref, cfg: PipelineConfig):
 
 def make_dangling_filter_fn(entity_keys_ref):
     """Stage factory: vectorized dangling-endpoint semi-join over triple
-    rows (J2) against the broadcast entity key set."""
+    rows (J2). The broadcast is either the exact key set (default) or a
+    BloomFilter (at-scale mode, config.entity_filter_mode='bloom' — no
+    false negatives, so recall vs the oracle is unaffected)."""
 
     def filter_dangling(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
@@ -339,7 +341,10 @@ def make_dangling_filter_fn(entity_keys_ref):
         df = batch.to_pandas()
         skey = df["subj_label"] + "\x1f" + df["subj"]
         okey = df["obj_label"] + "\x1f" + df["obj"]
-        return pa.Table.from_pandas(df[skey.isin(keys) & okey.isin(keys)],
-                                    preserve_index=False)
+        if isinstance(keys, (set, frozenset)):
+            mask = skey.isin(keys) & okey.isin(keys)
+        else:  # BloomFilter
+            mask = keys.contains_many(skey.tolist()) & keys.contains_many(okey.tolist())
+        return pa.Table.from_pandas(df[mask], preserve_index=False)
 
     return filter_dangling
