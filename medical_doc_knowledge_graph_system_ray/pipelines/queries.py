@@ -223,38 +223,35 @@ def q_doc_char_stats(sf_dir: str):
 
 
 def q_top_users_by_value(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
+    from ..stages.aggregates import preagg_sum_count
 
-    out = (
-        rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                        columns=["user_id", "value"])
-        .groupby("user_id")
-        .aggregate(Sum("value", alias_name="total_value"), Count(alias_name="n_events"))
-        .to_pandas()
-    )
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+    out = preagg_sum_count(ds, ["user_id"], ["value"], "n_events").to_pandas()
+    out = out.rename(columns={"value": "total_value"})
     out["total_value"] = out["total_value"].round(4)
     out = out.sort_values(["total_value", "user_id"],
                           ascending=[False, True]).head(10)
-    return out.reset_index(drop=True)
+    return out[["user_id", "total_value", "n_events"]].reset_index(drop=True)
 
 
 def q_events_hourly(sf_dir: str):
+    from ..stages.aggregates import preagg_sum_count
+
     def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
         batch["hour"] = batch["ts"].dt.floor("h")
         return batch[["hour", "event_type", "value"]]
 
-    from ray.data.aggregate import Count, Sum
-
-    out = (
+    ds = (
         rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                         columns=["ts", "event_type", "value"])
         .map_batches(add_hour, batch_format="pandas")
-        .groupby(["hour", "event_type"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
-        .to_pandas()
     )
+    out = preagg_sum_count(ds, ["hour", "event_type"], ["value"], "n").to_pandas()
+    out = out.rename(columns={"value": "total"})
     out["total"] = out["total"].round(4)
-    return out.sort_values(["hour", "event_type"]).reset_index(drop=True)
+    return out[["hour", "event_type", "n", "total"]].sort_values(
+        ["hour", "event_type"]).reset_index(drop=True)
 
 
 def q_event_sessions(sf_dir: str):
@@ -339,32 +336,34 @@ def q_region_customer_counts(sf_dir: str):
 
 
 def q_lineitem_pricing_summary(sf_dir: str):
-    """TPC-H Q1-shaped aggregate (groupby + multiple sums + avg)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H Q1-shaped aggregate: per-batch partial sums (combiner), tiny
+    global reduce, mean derived as sum/count after the shuffle."""
+    from ..stages.aggregates import preagg_sum_count
 
     def revenue(batch: pa.Table) -> pa.Table:
         rev = pc.multiply(batch.column("l_extendedprice"),
                           pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
         return batch.append_column("revenue", rev)
 
-    out = (
+    ds = (
         rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
                         columns=["l_returnflag", "l_linestatus", "l_quantity",
                                  "l_extendedprice", "l_discount"])
         .map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("revenue", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
-        .to_pandas()
     )
+    out = preagg_sum_count(
+        ds, ["l_returnflag", "l_linestatus"],
+        ["l_quantity", "l_extendedprice", "revenue"], "count_order",
+    ).to_pandas()
+    out = out.rename(columns={"l_quantity": "sum_qty",
+                              "l_extendedprice": "sum_base_price",
+                              "revenue": "sum_disc_price"})
+    out["avg_qty"] = out["sum_qty"] / out["count_order"]
     for c in ("sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"):
         out[c] = out[c].round(3)
-    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return out[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                "sum_disc_price", "avg_qty", "count_order"]].sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
 
 
 def q_order_revenue_by_status(sf_dir: str):
