@@ -290,7 +290,8 @@ class IngestPipeline:
                               "key_col": "doc_id", "sort_keys": ["doc_id", "span_seq"],
                               "schema": SPANS_SCHEMA, "finalize_fn": None,
                               "num_partitions": cfg.num_output_partitions})
-            results = write_partitioned_multi(rd.read_parquet(self.docs_path), specs)
+            results = write_partitioned_multi(
+                {"files": _list_parquet_files(self.docs_path)}, specs)
             secs = round(time.time() - t0, 3)
             for name, rows in results.items():
                 self.manifest.commit(name, {
@@ -326,7 +327,9 @@ class IngestPipeline:
                  "finalize_fn": mat.triple_finalize_partition,
                  "num_partitions": cfg.num_output_partitions},
             ]
-            results = write_partitioned_multi(self._extraction_ds(), specs)
+            results = write_partitioned_multi(
+                {"files": _list_parquet_files(os.path.join(self.out, "extraction"))},
+                specs)
             secs = round(time.time() - t0, 3)
             for name, rows in results.items():
                 self.manifest.commit(name, {

@@ -159,13 +159,9 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
     key_cols = [sp["key_col"] for sp in specs]
     parts = [sp["num_partitions"] for sp in specs]
 
-    @ray.remote(num_returns=total_returns)
-    def split_block(*blocks: pa.Table):
+    def _split_table(block: pa.Table):
         import numpy as np
 
-        block = pa.concat_tables([b for b in blocks if b.num_rows > 0],
-                                 promote_options="default") \
-            if any(b.num_rows for b in blocks) else blocks[0]
         outs = []
         for fn, key_col, P in zip(row_fns, key_cols, parts):
             t = fn(block) if fn is not None else block
@@ -177,6 +173,21 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
                 idx = np.nonzero(b == k)[0]
                 outs.append(t.take(pa.array(idx)) if len(idx) else t.slice(0, 0))
         return tuple(outs) if total_returns > 1 else outs[0]
+
+    @ray.remote(num_returns=total_returns)
+    def split_block(*blocks: pa.Table):
+        block = pa.concat_tables([b for b in blocks if b.num_rows > 0],
+                                 promote_options="default") \
+            if any(b.num_rows for b in blocks) else blocks[0]
+        return _split_table(block)
+
+    @ray.remote(num_returns=total_returns)
+    def split_files(files: list[str], columns):
+        block = pa.concat_tables(
+            [pq.read_table(f, columns=columns) for f in files],
+            promote_options="default",
+        )
+        return _split_table(block)
 
     @ray.remote
     def write_bucket(spec_idx: int, bucket: int, *blocks: pa.Table) -> dict:
@@ -194,9 +205,24 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
             t = t.select(sp["schema"].names).cast(sp["schema"])
         return write_table_partition(t, sp["path"], bucket, sp["sort_keys"])
 
-    block_refs = _grouped_refs(ds)
+    # source: either a Dataset (materialized via to_arrow_refs) or a dict
+    # {"files": [...], "columns": [...]} — the file form lets split tasks
+    # read their parquet group directly, skipping the Dataset scan job and
+    # the extra copy of the raw source through the object store
     results: dict[str, list[dict]] = {}
-    if not block_refs:
+    if isinstance(ds, dict):
+        files = list(ds["files"])
+        columns = ds.get("columns")
+        if not files:
+            per_block = []
+        else:
+            n_groups = min(_TARGET_SPLITS, len(files))
+            groups = [files[i::n_groups] for i in range(n_groups)]
+            per_block = [split_files.remote(g, columns) for g in groups]
+    else:
+        block_refs = _grouped_refs(ds)
+        per_block = [split_block.remote(*grp) for grp in block_refs]
+    if not per_block:
         for sp in specs:
             rows = []
             for b in range(sp["num_partitions"]):
@@ -206,7 +232,6 @@ def write_partitioned_multi(ds, specs: list[dict]) -> dict[str, list[dict]]:
             results[sp["name"]] = rows
         return results
 
-    per_block = [split_block.remote(*grp) for grp in block_refs]
     if total_returns == 1:
         per_block = [[r] for r in per_block]
     manifest_refs = {}
