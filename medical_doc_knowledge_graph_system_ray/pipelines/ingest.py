@@ -277,11 +277,39 @@ class IngestPipeline:
             t0 = time.time()
             specs = []
             if with_chunks_table:
+                if cfg.embed_chunks:
+                    # A1 analog inline: hashed-ngram embedding column on the
+                    # chunks table (worker-global embedder, built once per
+                    # worker process like the broadcast cache)
+                    def chunk_rows(b, cfg=cfg):
+                        import numpy as np
+
+                        from ..functions.embedder import NgramEmbedder
+                        from ..stages import materialize as _m
+
+                        t = chunk_batch(b, cfg)
+                        emb = _m._BCAST.setdefault(
+                            f"__embedder_{cfg.embedding_dim}",
+                            NgramEmbedder(cfg.embedding_dim))
+                        vecs = emb.embed_batch(t.column("text").to_pylist())
+                        arr = pa.FixedSizeListArray.from_arrays(
+                            pa.array(vecs.astype(np.float32).ravel()),
+                            cfg.embedding_dim)
+                        return t.append_column("embedding", arr)
+
+                    chunks_schema = CHUNKS_SCHEMA.append(
+                        pa.field("embedding",
+                                 pa.list_(pa.float32(), cfg.embedding_dim)))
+                else:
+                    def chunk_rows(b, cfg=cfg):
+                        return chunk_batch(b, cfg)
+
+                    chunks_schema = CHUNKS_SCHEMA
                 specs.append({"name": "chunks",
                               "path": os.path.join(self.out, "chunks"),
-                              "row_fn": lambda b: chunk_batch(b, cfg),
+                              "row_fn": chunk_rows,
                               "key_col": "doc_id", "sort_keys": ["doc_id", "seq"],
-                              "schema": CHUNKS_SCHEMA, "finalize_fn": None,
+                              "schema": chunks_schema, "finalize_fn": None,
                               "num_partitions": cfg.num_output_partitions})
             if with_spans:
                 specs.append({"name": "spans",
