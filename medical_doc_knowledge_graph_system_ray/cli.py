@@ -87,10 +87,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(dataclasses.asdict(fn(args.out, args.question,
                                                    top_k=args.top_k)), default=str))
     elif args.cmd == "explore":
-        from .pipelines.queryside import expand_k_hop
+        from .pipelines.queryside import explore
 
-        t = expand_k_hop(args.out, [args.key], hops=args.hops)
-        print(json.dumps(t.to_pylist()))
+        print(json.dumps(explore(args.out, args.key, hops=args.hops), default=str))
     elif args.cmd == "stats":
         from .pipelines.ingest import IngestPipeline
 

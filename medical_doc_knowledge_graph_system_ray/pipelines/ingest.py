@@ -49,7 +49,7 @@ from ..sources.io import (map_partitions_write, read_table_dir, write_partitione
 from ..state.manifest import Manifest
 from ..stages import materialize as mat
 from ..stages.chunking import chunk_batch, spans_batch
-from ..stages.extraction import EXTRACTION_SCHEMA, ExtractorActor
+from ..stages.extraction import ExtractorActor
 from ..stages.resolution import build_name_map, distinct_mention_names
 
 

@@ -23,7 +23,7 @@ import os
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import pyarrow.parquet as pq
+
 
 import ray.data as rd
 
@@ -79,6 +79,33 @@ def expand_k_hop(out_dir: str, seed_keys: list[str], hops: int = 2,
     return pa.Table.from_pylist(rows[:limit],
                                 schema=pa.schema([("key", pa.string()),
                                                   ("hops", pa.int32())]))
+
+
+def explore(out_dir: str, key: str, hops: int = 2, limit: int = 100) -> dict:
+    """/graph/explore analog (app/main.py:179-214): center node, the k-hop
+    neighborhood nodes AND the edges among them."""
+    nodes_t = expand_k_hop(out_dir, [key], hops=hops, limit=limit)
+    nodes = {r["key"]: r["hops"] for r in nodes_t.to_pylist()}
+    keep = set(nodes) | {key}
+
+    def edges_within(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df[df["subj"].isin(keep) & df["obj"].isin(keep)]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    edges = (
+        _read(out_dir, "triples",
+              columns=["subj", "pred", "obj", "confidence"])
+        .map_batches(edges_within, batch_format="pyarrow")
+        .take_all()
+    )
+    edges.sort(key=lambda e: (e["subj"], e["pred"], e["obj"]))
+    return {
+        "center": key,
+        "hops": hops,
+        "nodes": [{"key": k, "hops": h} for k, h in sorted(nodes.items())],
+        "edges": edges,
+    }
 
 
 def relationship_constrained_expansion(out_dir: str, seed_keys: list[str],

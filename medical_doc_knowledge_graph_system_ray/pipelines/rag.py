@@ -22,7 +22,7 @@ import numpy as np
 from ..config import PipelineConfig
 from ..functions.embedder import NgramEmbedder
 from . import queryside as qs
-from .context import ContextBundle, build_context, format_context_for_prompt, \
+from .context import build_context, format_context_for_prompt, \
     rerank_context_bundle
 
 

@@ -47,6 +47,17 @@ def test_k_hop_expansion(kg_out):
     assert set(one.column("key").to_pylist()) == direct
 
 
+def test_explore_nodes_and_edges(kg_out):
+    p = _a_patient(kg_out)
+    out = qs.explore(kg_out.out, p, hops=1)
+    assert out["center"] == p
+    assert out["nodes"]
+    keep = {n["key"] for n in out["nodes"]} | {p}
+    assert out["edges"]
+    for e in out["edges"]:
+        assert e["subj"] in keep and e["obj"] in keep
+
+
 def test_constrained_expansion_limit(kg_out):
     p = _a_patient(kg_out)
     out = qs.relationship_constrained_expansion(kg_out.out, [p], hops=3, limit=10)
