@@ -155,6 +155,38 @@ def q_kg_entity_first(sf_dir: str):
                                   top_k=5, threshold=0.0)
 
 
+def q_kg_condition_chains(sf_dir: str):
+    """Q4: condition -> medications/symptoms chains for the first 3 patients."""
+    from .queryside import condition_chains
+
+    pipe = ensure_kg_output(sf_dir)
+    pats = sorted(r["key"] for r in pipe.read_table("entities").to_pylist()
+                  if r["label"] == "Patient")[:3]
+    rows = []
+    for p in pats:
+        for r in condition_chains(pipe.out, p).to_pylist():
+            rows.append({"patient": p, "condition": r["condition"],
+                         "n_medications": len(r["medications"]),
+                         "n_symptoms": len(r["symptoms"])})
+    return pa.Table.from_pylist(rows)
+
+
+def q_kg_evaluation(sf_dir: str):
+    """E4: the evaluation harness aggregates as a table."""
+    from .rag import run_evaluation
+
+    pipe = ensure_kg_output(sf_dir)
+    report = run_evaluation(pipe.out)
+    rows = []
+    for strategy, agg in report["aggregates"].items():
+        for metric, v in agg.items():
+            if metric == "n":
+                continue
+            rows.append({"strategy": strategy, "metric": metric,
+                         "mean": v["mean"], "std_dev": v["std_dev"]})
+    return pa.Table.from_pylist(rows)
+
+
 def q_kg_media_features(sf_dir: str):
     """Multimodal plumbing: media spans -> payload table -> featurizer pool."""
     from ..stages.multimodal import MediaFeaturizer, media_rows_from_spans
@@ -469,6 +501,8 @@ QUERIES = {
     "kg_khop": q_kg_khop,
     "kg_citations": q_kg_citations,
     "kg_entity_first": q_kg_entity_first,
+    "kg_condition_chains": q_kg_condition_chains,
+    "kg_evaluation": q_kg_evaluation,
     # testdata operators
     "doc_token_counts": q_doc_token_counts,
     "lang_counts": q_lang_counts,
