@@ -183,11 +183,12 @@ def _mean_std(values: list[float]) -> tuple[float, float]:
     return round(mean, 4), round(var ** 0.5, 4)
 
 
-def run_evaluation(out_dir: str, cfg: PipelineConfig | None = None) -> dict:
+def run_evaluation(out_dir: str, cfg: PipelineConfig | None = None,
+                   questions: list | None = None) -> dict:
     """E4: each question x {vector, graph}, per-question fault isolation
     (zero-score record on failure), per-strategy aggregates."""
     records = []
-    for gold in GOLD_QUESTIONS:
+    for gold in (questions if questions is not None else GOLD_QUESTIONS):
         expected_terms = _expected_terms(out_dir, gold)
         for strategy, fn in (("vector", vector_rag_query), ("graph", graph_rag_query)):
             try:
