@@ -49,6 +49,7 @@ def kg_config(num_patients: int) -> PipelineConfig:
         num_shards=8,
         num_output_partitions=32,
         extract_concurrency=8,
+        embed_chunks=True,  # vector column on chunks -> query path reads it
     )
 
 

@@ -256,6 +256,17 @@ def entity_first_retrieval(out_dir: str, query: str, top_k: int = 5,
     fly per batch by the actor pool), take top-k above threshold, then
     left-join to mentions for seed entities (entity_first.py:36-90)."""
     cfg = cfg or PipelineConfig()
+    # use the stored embedding column when the chunks table has one
+    # (cfg.embed_chunks pipelines / Lance vector column); otherwise embed
+    # the text on the fly inside the actor pool
+    import pyarrow.parquet as _pq
+
+    first_file = sorted(
+        f for f in os.listdir(os.path.join(out_dir, "chunks"))
+        if f.endswith(".parquet")
+    )[0]
+    has_embedding = "embedding" in _pq.read_schema(
+        os.path.join(out_dir, "chunks", first_file)).names
 
     class ScoreChunks:
         def __init__(self):
@@ -263,16 +274,22 @@ def entity_first_retrieval(out_dir: str, query: str, top_k: int = 5,
             self.q = self.emb.embed_batch([query])[0]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = self.emb.embed_batch(batch.column("text").to_pylist())
-            scores = vecs @ self.q
+            if has_embedding:
+                flat = batch.column("embedding").combine_chunks().flatten()
+                vecs = np.asarray(flat).reshape(batch.num_rows, -1)
+            else:
+                vecs = self.emb.embed_batch(batch.column("text").to_pylist())
+            scores = vecs @ self.q[: vecs.shape[1]]
             return pa.table({
                 "chunk_id": batch.column("chunk_id"),
                 "doc_id": batch.column("doc_id"),
                 "score": pa.array(np.round(scores.astype(np.float64), 6)),
             })
 
+    score_cols = ["chunk_id", "doc_id",
+                  "embedding" if has_embedding else "text"]
     scored = (
-        _read(out_dir, "chunks", columns=["chunk_id", "doc_id", "text"])
+        _read(out_dir, "chunks", columns=score_cols)
         .map_batches(ScoreChunks, batch_format="pyarrow", concurrency=(1, 4))
         .map_batches(lambda t: t.filter(pc.greater_equal(t.column("score"), threshold)),
                      batch_format="pyarrow")

@@ -27,3 +27,13 @@ def test_chunks_table_gets_embedding_column(ray_session, tiny_corpus, tmp_path):
 
     first = np.array(chunks.column("embedding")[0].as_py(), dtype=np.float32)
     assert abs(float(np.linalg.norm(first)) - 1.0) < 1e-3  # normalized
+
+    # query path consumes the stored column and ranks identically to the
+    # on-the-fly path (same deterministic embedder)
+    from medical_doc_knowledge_graph_system_ray.pipelines.queryside import (
+        entity_first_retrieval,
+    )
+
+    got = entity_first_retrieval(pipe.out, "hypertension blood pressure",
+                                 top_k=5, threshold=0.0, cfg=cfg)
+    assert got.num_rows > 0
