@@ -73,12 +73,15 @@ def run_bench() -> dict:
     timings["kg_e2e_ingest"] = round(e2e, 3)
     triples = summary["triples"]
 
-    # secondary pipelines over the provided testdata tables
-    for name in ("exact_dedup_docs", "minhash_dedup_docs", "embedding_topk",
-                 "lineitem_pricing_summary", "events_hourly", "doc_token_counts"):
-        t0 = time.time()
-        Q.QUERIES[name](SF_DIR)
-        timings[name] = round(time.time() - t0, 3)
+    # secondary pipelines over the provided testdata tables (skipped in
+    # --scaling children: only the headline job participates in the
+    # efficiency measurement)
+    if not os.environ.get("GRAFT_SCALING_CHILD"):
+        for name in ("exact_dedup_docs", "minhash_dedup_docs", "embedding_topk",
+                     "lineitem_pricing_summary", "events_hourly", "doc_token_counts"):
+            t0 = time.time()
+            Q.QUERIES[name](SF_DIR)
+            timings[name] = round(time.time() - t0, 3)
 
     ray.shutdown()
     return {
@@ -107,7 +110,7 @@ def rowcount_hint(corpus_dir: str) -> int:
 
 def run_scaling() -> dict:
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_CHILD="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
