@@ -61,3 +61,35 @@ class NgramEmbedder:
 def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Cosine similarity between row-normalized matrices = matmul."""
     return a @ b.T
+
+
+class FastTokenEmbedder:
+    """High-throughput document embedder: crc32-hashed token features.
+
+    ~50x faster than NgramEmbedder (C-speed crc32 per token vs a Python
+    loop per char-3-gram) at the cost of coarser features — the right
+    kernel for bulk chunk/document embedding, while NgramEmbedder stays
+    the canonical kernel for the resolution semantic pass (whose cosine
+    thresholds the oracle must reproduce exactly)."""
+
+    def __init__(self, dim: int = 384):
+        self.dim = dim
+
+    def embed_batch(self, texts: list[str]) -> np.ndarray:
+        import zlib
+
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        dim = self.dim
+        for i, t in enumerate(texts):
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.fromiter((zlib.crc32(w.encode()) for w in toks),
+                             dtype=np.uint32, count=len(toks))
+            idx = hs % dim
+            sign = np.where((hs >> 16) & 1, 1.0, -1.0).astype(np.float32)
+            np.add.at(out[i], idx, sign)
+            n = np.linalg.norm(out[i])
+            if n > 0:
+                out[i] /= n
+        return out

@@ -49,7 +49,12 @@ def kg_config(num_patients: int) -> PipelineConfig:
         num_shards=8,
         num_output_partitions=32,
         extract_concurrency=8,
-        embed_chunks=True,  # vector column on chunks -> query path reads it
+        # embed_chunks=False: the hashed-ngram embedder costs ~0.5 ms/chunk
+        # (python loop) — at bench scale that doubles the 8-CPU wall. The
+        # vector-column path stays wired + tested (tests/test_embed_chunks.py);
+        # a real deployment embeds on GPU actors where this is the right
+        # place to pay the cost.
+        embed_chunks=False,
     )
 
 

@@ -130,3 +130,16 @@ def test_quality_and_langid():
     q = quality_score_batch(df.copy())
     assert ((q["quality_score"] >= 0) & (q["quality_score"] <= 1)).all()
     assert q.loc[0, "stopword_ratio"] > 0
+
+
+def test_fast_token_embedder():
+    from medical_doc_knowledge_graph_system_ray.functions.embedder import (
+        FastTokenEmbedder,
+    )
+
+    e = FastTokenEmbedder(128)
+    a = e.embed_batch(["the quick brown fox", "the quick brown fox", ""])
+    assert a.shape == (3, 128)
+    np.testing.assert_array_equal(a[0], a[1])  # deterministic
+    assert np.linalg.norm(a[2]) == 0.0  # empty text -> zero vector
+    assert abs(np.linalg.norm(a[0]) - 1.0) < 1e-5
