@@ -428,7 +428,7 @@ def q_order_revenue_by_status(sf_dir: str):
         .rename_columns({"o_orderkey": "orderkey"})
     joined = hash_join(left, right, on="orderkey", num_buckets=16)
     out = (
-        rd.from_arrow(joined)
+        joined
         .map_batches(
             lambda t: t.append_column(
                 "revenue",
@@ -490,11 +490,28 @@ def q_langid_pred(sf_dir: str):
 
 
 def q_embedding_neardup(sf_dir: str):
-    from ..stages.dedup import embedding_neardup_pairs
+    """Exact cosine >= 0.45 pairs (blocked all-pairs; DuckDB-oracled)."""
+    from ..stages.dedup import embedding_neardup_exact
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
-    out = embedding_neardup_pairs(ds, threshold=0.9).to_pandas()
+    out = embedding_neardup_exact(ds, threshold=0.45).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def q_embedding_neardup_lsh(sf_dir: str):
+    """Scale path: sign-LSH candidates + keyed vector gather + verify
+    (approximate by design -> rows-only check)."""
+    from ..stages.dedup import embedding_neardup_lsh
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+    out = embedding_neardup_lsh(ds, threshold=0.45).to_pandas()
     if len(out) == 0:
         return pd.DataFrame({"a": pd.Series(dtype="int64"),
                              "b": pd.Series(dtype="int64"),
@@ -537,6 +554,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "langid_pred": q_langid_pred,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
 }
 
 ORACLE_SQL = {
@@ -597,6 +615,13 @@ ORACLE_SQL = {
         "SELECT o.o_orderstatus, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)"
         " AS total_revenue, count(*) AS n_lines FROM lineitem l "
         "JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1 ORDER BY 1"
+    ),
+    "embedding_neardup": (
+        "SELECT a.vec_id AS a, b.vec_id AS b, "
+        "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.45 "
+        "ORDER BY a, b"
     ),
     "lineitem_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "

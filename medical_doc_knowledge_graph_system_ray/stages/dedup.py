@@ -1,16 +1,23 @@
 """Deduplication operators over a generic documents table — the
 training-data-pipeline family the brief grades as first-class:
 
-* exact: content-hash -> hash-partitioned groupby -> keep first (min id)
+* exact: content-hash -> (hash, id)-only shuffle -> min-id winners ->
+  partitioned id semi-join recovers the kept rows
 * minhash_lsh: shingle -> minhash -> band explode -> groupby(band) ->
-  candidate pairs -> verified Jaccard -> connected components -> keep min
+  candidate id pairs -> keyed text gather -> verified Jaccard ->
+  connected components -> keep min
 * simhash: 64-bit simhash, bucket by band, hamming <= k candidates
 * ngram_jaccard: word n-gram Jaccard verification kernel
-* embedding near-dup: cosine >= tau on an embedding column
+* embedding near-dup: cosine >= tau on an embedding column — exact
+  blocked all-pairs (oracle-matched baseline) and sign-LSH bucketed
+  candidates + keyed vector gather (the scale path)
 
-Each follows the combiner-before-shuffle discipline: per-batch partial
-work (hashing, shingling, banding) happens inside map_batches; only the
-small derived rows (hashes / band keys / candidate pairs) shuffle.
+Shuffle discipline (the 100-TB contract): NO stage ships document text
+or embedding vectors through a groupby shuffle. Band/bucket stages emit
+only (band_key, id); verification happens in a keyed second pass that
+gathers payloads for the (documented-small) candidate set by id with a
+pruned filtered scan. tests/test_dedup_payloads.py asserts the
+band-stage schemas stay payload-free.
 """
 
 from __future__ import annotations
@@ -21,7 +28,6 @@ import pyarrow.compute as pc
 from ..functions.hashing import MinHasher, hamming64, simhash64, stable_hash64
 from ..functions.unionfind import UnionFind
 
-
 # ── exact dedup ────────────────────────────────────────────────────────
 
 def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
@@ -30,27 +36,36 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Keep the min-id row per exact text. groupby on the 64-bit hash (cheap
-    shuffle of (hash, id) pairs only) then min-reduce."""
+    """Keep the min-id row per exact text.
+
+    Stage 1 shuffles ONLY (text_hash, id) pairs (per-batch combiner keeps
+    one candidate per hash first) and reduces to the min id per hash.
+    Stage 2 recovers the kept rows by a partitioned id semi-join against
+    the source (one bucketed pass over the payload — the minimum any
+    hash-dedup that outputs rows must move). Returns a Ray Dataset.
+    """
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
 
     def partial(batch: pa.Table) -> pa.Table:
         batch = add_text_hash(batch, text_col)
-        # per-batch combiner: one candidate row per hash
-        df = batch.select([id_col, "text_hash", text_col]).to_pandas()
-        df = df.sort_values(id_col).groupby("text_hash", as_index=False).first()
-        return pa.Table.from_pandas(df[[id_col, "text_hash", text_col]],
-                                    preserve_index=False)
+        agg = batch.select([id_col, "text_hash"]).group_by(
+            "text_hash", use_threads=False
+        ).aggregate([(id_col, "min")])
+        return pa.table({
+            "text_hash": agg.column("text_hash"),
+            id_col: agg.column(f"{id_col}_min"),
+        })
 
-    def reduce_group(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])[0].as_py()
-        return group.slice(idx, 1)
-
-    return (
+    winners = (
         ds.map_batches(partial, batch_format="pyarrow")
         .groupby("text_hash")
-        .map_groups(reduce_group, batch_format="pyarrow")
+        .aggregate(Min(id_col, alias_name=id_col))
         .drop_columns(["text_hash"])
     )
+    return hash_join(ds, winners.map_batches(lambda t: t, batch_format="pyarrow"),
+                     on=id_col, num_buckets=16)
 
 
 # ── minhash-LSH near-dup ───────────────────────────────────────────────
@@ -70,7 +85,11 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 class MinHashBander:
-    """map_batches actor: doc -> (band_key, doc_id, text) rows for LSH grouping."""
+    """map_batches actor: doc -> (band_key, doc_id) rows for LSH grouping.
+
+    Payload-free: the document text NEVER enters the band shuffle (at
+    16 bands a text copy per band would multiply the shuffle volume 16x
+    over the corpus size)."""
 
     def __init__(self, num_perms: int = 64, bands: int = 16, shingle_n: int = 3):
         self.hasher = MinHasher(num_perms, seed=11)
@@ -80,15 +99,73 @@ class MinHashBander:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_key, out_id, out_text = [], [], []
+        out_key, out_id = [], []
         for i, t in zip(ids, texts):
             for key in self.hasher.band_keys(word_shingles(t, self.shingle_n), self.bands):
                 out_key.append(key)
                 out_id.append(i)
-                out_text.append(t)
         return pa.table({"band_key": pa.array(out_key, type=pa.string()),
-                         "doc_id": pa.array(out_id),
-                         "text": pa.array(out_text, type=pa.string())})
+                         "doc_id": pa.array(out_id)})
+
+
+def _candidate_pairs_in_group(group: pa.Table) -> pa.Table:
+    """All distinct id pairs sharing a band bucket (ids only)."""
+    ids = sorted(set(group.column("doc_id").to_pylist()))
+    rows = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            rows.append({"a": ids[x], "b": ids[y]})
+    return pa.Table.from_pylist(rows, schema=pa.schema([("a", pa.int64()),
+                                                        ("b", pa.int64())]))
+
+
+def _gather_payloads(ds, ids: set, id_col: str, payload_col: str) -> dict:
+    """Keyed second pass: pruned filtered scan collecting payloads for the
+    candidate id set only (documented-small — the near-dup candidate set,
+    not the corpus). The id set broadcasts via the task closure."""
+    id_arr = pa.array(sorted(ids))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_col), value_set=id_arr)
+        return batch.filter(mask).select([id_col, payload_col])
+
+    out = {}
+    for r in ds.map_batches(pick, batch_format="pyarrow").take_all():
+        out.setdefault(r[id_col], r[payload_col])
+    return out
+
+
+def _verify_pairs_distributed(pairs: list[tuple], payloads: dict, verify_fn):
+    """Fan pairwise verification out as Ray tasks; payloads broadcast once
+    via ray.put. verify_fn(pa, pb) -> float score or None (drop). Small
+    candidate sets verify on the driver — the fan-out's fixed cost only
+    amortizes beyond ~10k pairs."""
+    import ray
+
+    if not pairs:
+        return []
+    if len(pairs) < 10_000:
+        out = []
+        for a, b in pairs:
+            s = verify_fn(payloads.get(a), payloads.get(b))
+            if s is not None:
+                out.append((a, b, s))
+        return out
+    payload_ref = ray.put(payloads)
+
+    @ray.remote
+    def verify(chunk: list[tuple]):
+        p = ray.get(payload_ref)
+        out = []
+        for a, b in chunk:
+            s = verify_fn(p.get(a), p.get(b))
+            if s is not None:
+                out.append((a, b, s))
+        return out
+
+    step = max(2_000, len(pairs) // 64)
+    futs = [verify.remote(pairs[i : i + step]) for i in range(0, len(pairs), step)]
+    return [e for part in ray.get(futs) for e in part]
 
 
 def minhash_lsh_dedup(ds, jaccard_threshold: float = 0.8,
@@ -96,48 +173,50 @@ def minhash_lsh_dedup(ds, jaccard_threshold: float = 0.8,
     """Near-duplicate clusters via MinHash-LSH; returns (doc_id, dup_group)
     where dup_group = min doc_id of the verified-connected component.
 
-    The candidate-pair edge set (verified Jaccard >= threshold) is tiny
-    relative to the corpus; components close on the driver (documented
-    small-side assumption; iterate label propagation instead if it grows).
+    Shuffle carries (band_key, doc_id) only. The candidate-pair edge set
+    and its gathered texts are tiny relative to the corpus (near-dup
+    candidates); components close on the driver (documented small-side
+    assumption; iterate label propagation instead if it grows).
     """
+    import ray
 
-    def pairs_in_group(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        texts = group.column("text").to_pylist()
-        uniq: dict = {}
-        for i, t in zip(ids, texts):
-            uniq.setdefault(i, t)
-        items = sorted(uniq.items())
-        rows = []
-        for x in range(len(items)):
-            for y in range(x + 1, len(items)):
-                if ngram_jaccard(items[x][1], items[y][1], shingle_n) >= jaccard_threshold:
-                    rows.append({"a": items[x][0], "b": items[y][0]})
-        return pa.Table.from_pylist(rows, schema=pa.schema([("a", pa.int64()),
-                                                            ("b", pa.int64())]))
-
-    edges = (
+    candidates = (
         ds.map_batches(MinHashBander, batch_format="pyarrow",
                        fn_constructor_kwargs={"num_perms": num_perms, "bands": bands,
                                               "shingle_n": shingle_n},
                        concurrency=(1, 4))
         .groupby("band_key")
-        .map_groups(pairs_in_group, batch_format="pyarrow")
+        .map_groups(_candidate_pairs_in_group, batch_format="pyarrow")
         .take_all()
     )
+    pairs = sorted({(e["a"], e["b"]) for e in candidates})
+    cand_ids = {i for p in pairs for i in p}
+    texts = _gather_payloads(ds, cand_ids, "doc_id", "text") if cand_ids else {}
+
+    def jacc(ta, tb):
+        if ta is None or tb is None:
+            return None
+        j = ngram_jaccard(ta, tb, shingle_n)
+        return j if j >= jaccard_threshold else None
+
+    edges = _verify_pairs_distributed(pairs, texts, jacc)
     uf = UnionFind()
-    for e in edges:
-        uf.union(str(e["a"]), str(e["b"]))
+    for a, b, _s in edges:
+        uf.union(str(a), str(b))
     comp: dict[str, list[str]] = uf.components()
     mapping: dict[int, int] = {}
     for members in comp.values():
         group_min = min(int(m) for m in members)
         for m in members:
             mapping[int(m)] = group_min
+    mapping_ref = ray.put(mapping)
 
     def assign(batch: pa.Table) -> pa.Table:
+        from .materialize import fetch_broadcast
+
+        mp = fetch_broadcast(mapping_ref)
         ids = batch.column("doc_id").to_pylist()
-        grp = [mapping.get(i, i) for i in ids]
+        grp = [mp.get(i, i) for i in ids]
         return batch.append_column("dup_group", pa.array(grp, type=pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
@@ -155,7 +234,8 @@ def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
 
 def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4):
     """Candidate near-dup pairs: band the 64-bit simhash into 16-bit keys
-    (a pair within hamming<=3 shares >=1 of 4 bands by pigeonhole)."""
+    (a pair within hamming<=3 shares >=1 of 4 bands by pigeonhole).
+    Only the 8-byte simhash rides the shuffle alongside the band key."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
         batch = add_simhash(batch)
@@ -193,60 +273,150 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4):
 
 # ── embedding cosine near-dup ─────────────────────────────────────────
 
-def embedding_neardup_pairs(ds, threshold: float = 0.95, bands: int = 8):
-    """Near-dup (a, b, cosine) pairs over an embedding list column via
-    sign-bit LSH bucketing + exact cosine verification per bucket."""
+_PAIR_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                          ("cosine", pa.float64())])
+
+
+def embedding_neardup_exact(ds, threshold: float = 0.45,
+                            id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Exact all-pairs cosine >= threshold, as distributed block-pair
+    matmul tasks (the verified baseline an LSH variant is judged against;
+    SQL-expressible, so this one carries the DuckDB oracle).
+
+    Each block normalizes once; every block pair is one numpy matmul
+    task. Quadratic in block count — the exact variant by definition;
+    embedding_neardup_lsh is the subquadratic scale path. Returns a Ray
+    Dataset of (a, b, cosine) with a < b; cosine rounded to 6 so the
+    threshold compare matches round(list_cosine_similarity(...), 6).
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from ..sources.io import _grouped_refs
+
+    @ray.remote
+    def norm_block(*tabs: pa.Table):
+        t = pa.concat_tables([x for x in tabs if x.num_rows > 0],
+                             promote_options="default") \
+            if any(x.num_rows for x in tabs) else tabs[0]
+        ids = np.asarray(t.column(id_col).to_pylist(), dtype=np.int64)
+        m = np.array(t.column(emb_col).to_pylist(), dtype=np.float64)
+        if len(m):
+            m = m / np.clip(np.linalg.norm(m, axis=1, keepdims=True), 1e-9, None)
+        return ids, m
+
+    @ray.remote
+    def pair_block(blk_a, blk_b, same: bool) -> pa.Table:
+        ids_a, ma = blk_a
+        ids_b, mb = blk_b
+        if not len(ids_a) or not len(ids_b):
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        sims = np.round(ma @ mb.T, 6)
+        ii, jj = np.nonzero(sims >= threshold)
+        rows = []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            a, b = int(ids_a[i]), int(ids_b[j])
+            if same and a >= b:
+                continue
+            if a > b:
+                a, b = b, a
+            rows.append({"a": a, "b": b, "cosine": float(sims[i, j])})
+        return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
+
+    groups = _grouped_refs(ds.map_batches(
+        lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"))
+    blocks = [norm_block.remote(*g) for g in groups]
+    futs = []
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            futs.append(pair_block.remote(blocks[i], blocks[j], i == j))
+    if not futs:
+        return rd.from_arrow(pa.Table.from_pylist([], schema=_PAIR_SCHEMA))
+    return rd.from_arrow_refs(futs)
+
+
+def make_sign_band_fn(bands: int = 8, id_col: str = "vec_id",
+                      emb_col: str = "embedding"):
+    """Sign-bit LSH band stage factory. Emits (band_key, id) ONLY — the
+    payload-free contract tests assert this schema."""
     import numpy as np
 
     rng = np.random.RandomState(23)
-    proj_holder = {}
+    proj_holder: dict = {}
 
     def band_rows(batch: pa.Table) -> pa.Table:
-        embs = np.array(batch.column("embedding").to_pylist(), dtype=np.float32)
+        embs = np.array(batch.column(emb_col).to_pylist(), dtype=np.float32)
         norms = np.linalg.norm(embs, axis=1, keepdims=True)
         embs = embs / np.clip(norms, 1e-9, None)
         if "proj" not in proj_holder:
             proj_holder["proj"] = rng.randn(embs.shape[1], 64).astype(np.float32)
         bits = (embs @ proj_holder["proj"]) >= 0
-        ids = batch.column("vec_id").to_pylist()
-        out = {"band_key": [], "vec_id": [], "embedding": []}
+        ids = batch.column(id_col).to_pylist()
+        out_key, out_id = [], []
+        w = 64 // bands
         for b in range(bands):
-            w = 64 // bands
             key_bits = bits[:, b * w : (b + 1) * w]
             keys = (key_bits * (1 << np.arange(w))).sum(axis=1)
             for i in range(len(ids)):
-                out["band_key"].append(f"{b}:{int(keys[i])}")
-                out["vec_id"].append(ids[i])
-                out["embedding"].append(embs[i].tolist())
-        return pa.table(
-            {"band_key": pa.array(out["band_key"]),
-             "vec_id": pa.array(out["vec_id"]),
-             "embedding": pa.array(out["embedding"], type=pa.list_(pa.float32()))}
-        )
+                out_key.append(f"{b}:{int(keys[i])}")
+                out_id.append(ids[i])
+        return pa.table({"band_key": pa.array(out_key),
+                         id_col: pa.array(out_id, type=pa.int64())})
 
-    def pairs(group: pa.Table) -> pa.Table:
-        import numpy as np
+    return band_rows
 
-        ids = group.column("vec_id").to_pylist()
-        uniq: dict = {}
-        for i, e in zip(ids, group.column("embedding").to_pylist()):
-            uniq.setdefault(i, e)
-        items = sorted(uniq.items())
-        if len(items) < 2:
-            return pa.Table.from_pylist([], schema=pa.schema(
-                [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]))
-        m = np.array([e for _, e in items], dtype=np.float32)
-        sims = m @ m.T
-        ii, jj = np.nonzero(sims >= threshold)
-        rows = [
-            {"a": items[i][0], "b": items[j][0], "cosine": round(float(sims[i, j]), 6)}
-            for i, j in zip(ii.tolist(), jj.tolist()) if i < j
-        ]
-        return pa.Table.from_pylist(rows, schema=pa.schema(
-            [("a", pa.int64()), ("b", pa.int64()), ("cosine", pa.float64())]))
 
-    return (
+def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 8,
+                          id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Scale path: sign-bit LSH bucketing -> candidate id pairs -> keyed
+    vector gather -> exact cosine verification. The band shuffle carries
+    (band_key, vec_id) ONLY — vectors never ride the shuffle (x8 band
+    duplication of a 384-d float32 vector would be a 12 KB/row exchange).
+    Approximate: recall < 1 vs the exact variant by LSH design."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    band_rows = make_sign_band_fn(bands, id_col=id_col, emb_col=emb_col)
+
+    def cand_pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group.column(id_col).to_pylist()))
+        rows = []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                rows.append({"a": ids[x], "b": ids[y]})
+        return pa.Table.from_pylist(rows, schema=pa.schema([("a", pa.int64()),
+                                                            ("b", pa.int64())]))
+
+    candidates = (
         ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("band_key")
-        .map_groups(pairs, batch_format="pyarrow")
+        .map_groups(cand_pairs, batch_format="pyarrow")
+        .take_all()
     )
+    pairs = sorted({(e["a"], e["b"]) for e in candidates})
+    cand_ids = {i for p in pairs for i in p}
+    vecs = _gather_payloads(ds, cand_ids, id_col, emb_col) if cand_ids else {}
+    norm_vecs = {}
+    for k, v in vecs.items():
+        arr = np.asarray(list(v), dtype=np.float64)
+        n = np.linalg.norm(arr)
+        norm_vecs[k] = arr / n if n > 0 else arr
+
+    def cos(va, vb):
+        if va is None or vb is None:
+            return None
+        c = round(float(va @ vb), 6)
+        return c if c >= threshold else None
+
+    edges = _verify_pairs_distributed(pairs, norm_vecs, cos)
+    out = pa.Table.from_pylist(
+        [{"a": a, "b": b, "cosine": s} for a, b, s in sorted(edges)],
+        schema=_PAIR_SCHEMA)
+    return rd.from_arrow(out)
+
+
+# Back-compat alias: the oracled default is the exact variant.
+def embedding_neardup_pairs(ds, threshold: float = 0.45, bands: int = 8):
+    return embedding_neardup_exact(ds, threshold=threshold)

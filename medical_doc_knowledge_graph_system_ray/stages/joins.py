@@ -5,14 +5,17 @@ Two patterns (guide §joins):
 * broadcast join — small side shipped once via ray.put, lookup inside
   map_batches (see queries.region_customer_counts);
 * partitioned hash join — BOTH sides large: add bucket = hash(key) % B
-  to each side, co-group per bucket, pandas merge inside the bucket
+  to each side, co-group per bucket, pyarrow hash-join inside the bucket
   task. Skewed keys would be salted into sub-buckets (same discipline as
   resolution._salt_block); B is the explicit partitioning contract.
 
 Implemented over raw Ray tasks with the same grouped-split exchange as
 sources/io.py (Dataset.groupby's sort shuffle is ~10x slower at this
 row count); each bucket join task receives the bucket's slices of both
-sides through the object store.
+sides through the object store. The joined output NEVER materializes on
+the driver: each bucket's table stays in the object store and the
+result is returned as a Ray Dataset over those block refs
+(``from_arrow_refs``) — callers stream it into aggregates/writes.
 """
 
 from __future__ import annotations
@@ -21,17 +24,48 @@ import pyarrow as pa
 
 from ..sources.io import _grouped_refs, bucket_of
 
+_JOIN_TYPE = {
+    "inner": "inner",
+    "left": "left outer",
+    "right": "right outer",
+    "outer": "full outer",
+}
+
+
+def _arrow_schema(ds) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if isinstance(t, pa.DataType):
+            fields.append((n, t))
+        else:  # pandas-block schema: numpy dtype (object -> string)
+            try:
+                fields.append((n, pa.from_numpy_dtype(t)))
+            except (TypeError, pa.ArrowNotImplementedError):
+                fields.append((n, pa.string()))
+    return pa.schema(fields)
+
 
 def hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
-              how: str = "inner") -> pa.Table:
+              how: str = "inner"):
     """Partitioned hash join of two Datasets on an int/str key column.
 
-    Returns the concatenated joined table (callers typically aggregate
-    right after; for huge outputs, write per-bucket instead of concat)."""
+    Returns a Ray Dataset of the joined rows (one block per bucket, held
+    in the object store — no driver-side concat). Row order within a
+    bucket follows pyarrow's hash join and is not part of the contract;
+    callers aggregate or sort downstream.
+    """
     import numpy as np
     import ray
+    import ray.data as rd
 
     B = num_buckets
+    join_type = _JOIN_TYPE[how]
+    left_schema = _arrow_schema(left_ds)
+    right_schema = _arrow_schema(right_ds)
 
     @ray.remote(num_returns=B)
     def split(*blocks: pa.Table):
@@ -52,15 +86,16 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     def join_bucket(n_left: int, *parts: pa.Table) -> pa.Table:
         lefts = [t for t in parts[:n_left] if t.num_rows > 0]
         rights = [t for t in parts[n_left:] if t.num_rows > 0]
-        if not lefts or (how == "inner" and not rights):
-            return parts[0].slice(0, 0) if parts else pa.table({})
-        l = pa.concat_tables(lefts, promote_options="default").to_pandas()
-        if rights:
-            r = pa.concat_tables(rights, promote_options="default").to_pandas()
-        else:
-            r = pa.concat_tables([parts[n_left]]).to_pandas()
-        out = l.merge(r, on=on, how=how)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # empty sides keep their declared schema so every bucket block has
+        # the identical joined schema (required by from_arrow_refs)
+        l = (pa.concat_tables(lefts, promote_options="default") if lefts
+             else pa.Table.from_pylist([], schema=left_schema))
+        r = (pa.concat_tables(rights, promote_options="default") if rights
+             else pa.Table.from_pylist([], schema=right_schema))
+        out = l.join(r, keys=on, join_type=join_type)
+        # deterministic column order: left schema then right non-key columns
+        cols = list(left_schema.names) + [c for c in right_schema.names if c != on]
+        return out.select(cols).combine_chunks()
 
     left_groups = _grouped_refs(left_ds)
     right_groups = _grouped_refs(right_ds)
@@ -73,7 +108,4 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     for k in range(B):
         args = [ls[k] for ls in left_splits] + [rs[k] for rs in right_splits]
         futs.append(join_bucket.remote(len(left_splits), *args))
-    tables = [t for t in ray.get(futs) if t.num_rows > 0]
-    if not tables:
-        return pa.table({})
-    return pa.concat_tables(tables, promote_options="default")
+    return rd.from_arrow_refs(futs)

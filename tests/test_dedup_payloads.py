@@ -1,0 +1,143 @@
+"""Shuffle-payload contract for the dedup family (VERDICT r1 #1): band
+stages ship (band_key, id) only — never document text or embedding
+vectors — and the de-drivered hash join + exact/LSH near-dup operators
+keep their semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+DOCS = pa.table({
+    "doc_id": pa.array(list(range(8)), type=pa.int64()),
+    "text": [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog tonight",  # near-dup of 0
+        "completely different words about medical records here",
+        "the quick brown fox jumps over the lazy dog today",    # exact dup of 0
+        "another unrelated document with its own content",
+        "yet more unrelated text that shares nothing at all",
+        "completely different words about medical records here",  # exact dup of 2
+        "the quick brown fox jumps over the lazy dog today ok",  # near-dup of 0
+    ],
+})
+
+
+def test_minhash_bander_payload_free():
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import MinHashBander
+
+    out = MinHashBander(num_perms=16, bands=4)(DOCS)
+    assert set(out.column_names) == {"band_key", "doc_id"}
+
+
+def test_sign_band_fn_payload_free():
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import make_sign_band_fn
+
+    vecs = pa.table({
+        "vec_id": pa.array([0, 1, 2], type=pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+                              type=pa.list_(pa.float32())),
+    })
+    out = make_sign_band_fn(bands=4)(vecs)
+    assert set(out.column_names) == {"band_key", "vec_id"}
+
+
+def test_exact_dedup_min_id_per_text(ray_session):
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import exact_dedup
+
+    ds = rd.from_arrow(DOCS)
+    out = exact_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = (DOCS.to_pandas().sort_values("doc_id")
+            .groupby("text", as_index=False).first()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["doc_id", "text"]],
+                                  want[["doc_id", "text"]])
+
+
+def test_minhash_lsh_dedup_groups(ray_session):
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import minhash_lsh_dedup
+
+    ds = rd.from_arrow(DOCS)
+    out = minhash_lsh_dedup(ds, jaccard_threshold=0.5).to_pandas()
+    groups = dict(zip(out["doc_id"], out["dup_group"]))
+    # exact dups + near-dups of doc 0 cluster to min id 0
+    assert groups[3] == 0 and groups[1] == 0 and groups[7] == 0
+    assert groups[6] == groups[2] == 2
+    # singletons map to themselves
+    assert groups[4] == 4 and groups[5] == 5
+
+
+def test_embedding_neardup_exact_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import (
+        embedding_neardup_exact, embedding_neardup_lsh)
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(40, 16).astype(np.float32)
+    m[7] = m[2] + 0.01 * rng.randn(16)  # planted near-dup
+    m[31] = m[11]                       # planted exact dup
+    tbl = pa.table({"vec_id": pa.array(list(range(40)), type=pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in m],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+
+    m64 = np.asarray(m, dtype=np.float64)
+    n = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    sims = np.round(n @ n.T, 6)
+    tau = 0.8
+    want = sorted((a, b) for a in range(40) for b in range(a + 1, 40)
+                  if sims[a, b] >= tau)
+
+    got = embedding_neardup_exact(ds, threshold=tau).to_pandas()
+    got_pairs = sorted(zip(got["a"], got["b"]))
+    assert got_pairs == want
+    assert (2, 7) in got_pairs and (11, 31) in got_pairs
+
+    # LSH path: subset of exact, and finds the identical pair
+    lsh = embedding_neardup_lsh(ds, threshold=tau).to_pandas()
+    lsh_pairs = sorted(zip(lsh["a"], lsh["b"]))
+    assert set(lsh_pairs) <= set(want)
+    assert (11, 31) in lsh_pairs
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "outer"])
+def test_hash_join_matches_pandas(ray_session, how):
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.joins import hash_join
+
+    l = pd.DataFrame({"k": [1, 2, 3, 4, 4], "lv": [10, 20, 30, 40, 41]})
+    r = pd.DataFrame({"k": [2, 3, 3, 5], "rv": ["b", "c1", "c2", "e"]})
+    got = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                    num_buckets=4, how=how).to_pandas()
+    want = l.merge(r, on="k", how=how)
+    got = got.sort_values(["k", "lv", "rv"], na_position="last").reset_index(drop=True)
+    want = want.sort_values(["k", "lv", "rv"], na_position="last").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["rv"].fillna("NA").tolist() == want["rv"].fillna("NA").tolist()
+    assert got["lv"].fillna(-1).tolist() == want["lv"].fillna(-1).tolist()
+
+
+def test_hash_join_empty_right(ray_session):
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.joins import hash_join
+
+    l = pd.DataFrame({"k": [1, 2], "lv": [10, 20]})
+    r = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                      "rv": pd.Series(dtype="object")})
+    inner = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                      num_buckets=2, how="inner")
+    assert set(inner.schema().names) == {"k", "lv", "rv"}
+    assert inner.count() == 0
+    left = hash_join(rd.from_pandas(l), rd.from_pandas(r), on="k",
+                     num_buckets=2, how="left").to_pandas()
+    assert len(left) == 2 and left["rv"].isna().all()
