@@ -57,15 +57,41 @@ class ContextBundle:
 
     seed_entities: list[dict] = field(default_factory=list)
     neighborhood_nodes: list[dict] = field(default_factory=list)
+    reasoning_paths: list[list[str]] = field(default_factory=list)
     citations: list[dict] = field(default_factory=list)
     raw_chunks: list[str] = field(default_factory=list)
     complexity: str = "simple"
 
 
+_PATH_TARGET_LABELS = {"Condition", "Medication", "Procedure"}
+
+
+def _extract_reasoning_paths(out_dir: str, seed_keys: list[str],
+                             neighborhood: list[dict]) -> list[list[str]]:
+    """Reasoning chains seeds -> interesting targets
+    (context_builder.py:297-327): the first 5 neighborhood nodes labeled
+    Condition/Medication/Procedure become targets; each gets the
+    shortest seeds->target paths (<=5 hops, LIMIT 5)."""
+    targets = [n["key"] for n in neighborhood
+               if n.get("label") in _PATH_TARGET_LABELS][:5]
+    paths: list[list[str]] = []
+    seen: set[tuple] = set()
+    for target in targets:
+        for p in qs.find_paths_from_seeds(out_dir, seed_keys, target,
+                                          max_hops=5, limit=5):
+            chain = p["entity_chain"]
+            if len(chain) >= 2 and tuple(chain) not in seen:
+                seen.add(tuple(chain))
+                paths.append(chain)
+    return paths
+
+
 def build_context(out_dir: str, question: str, top_k: int = 5,
                   cfg: PipelineConfig | None = None) -> ContextBundle:
-    """Q7: seeds (Q1) -> k-hop at adaptive depth (Q2) -> citations (J5),
-    chunk dedup along the way (context_builder.py:62-158)."""
+    """Q7 full composition (context_builder.py:62-158): seeds (Q1) ->
+    k-hop at adaptive depth (Q2) -> relationship-constrained merge (Q3)
+    -> reasoning paths on complex queries (Q5) -> citations over seeds +
+    neighborhood (J5), chunk dedup along the way."""
     cfg = cfg or PipelineConfig()
     complexity = classify_query_complexity(question)
     hops = 2 if complexity == "complex" else 1
@@ -75,14 +101,35 @@ def build_context(out_dir: str, question: str, top_k: int = 5,
     seeds = seeds_t.to_pylist() if seeds_t.num_rows else []
     seed_keys = sorted({s["entity"] for s in seeds})
 
-    neighborhood = []
+    neighborhood: list[dict] = []
     if seed_keys:
         nb = qs.expand_k_hop(out_dir, seed_keys, hops=hops, limit=100)
         neighborhood = nb.to_pylist()
+        # label the neighborhood (pruned key-filtered entities scan) — the
+        # Q3 merge and path-target picks need labels
+        labels = _labels_for(out_dir, [n["key"] for n in neighborhood])
+        for n in neighborhood:
+            n["label"] = labels.get(n["key"], "")
+        # Q3 merge (context_builder.py:118-129): constrained-path targets
+        # not already in the neighborhood are appended
+        existing = {n["key"] for n in neighborhood}
+        rel_t = qs.relationship_constrained_paths(out_dir, seed_keys,
+                                                  max_hops=3, limit=50)
+        for r in rel_t.to_pylist():
+            if r["target"] not in existing and r["target"] not in seed_keys:
+                existing.add(r["target"])
+                neighborhood.append({"key": r["target"], "hops": r["hops"],
+                                     "label": r["target_label"]})
+
+    reasoning_paths: list[list[str]] = []
+    if seed_keys and complexity == "complex":
+        reasoning_paths = _extract_reasoning_paths(out_dir, seed_keys, neighborhood)
 
     cites = []
     if seed_keys:
-        cites = qs.citations(out_dir, seed_keys, limit=10).to_pylist()
+        # citations over seeds + neighborhood (context_builder.py:135-138)
+        cite_keys = sorted({*seed_keys, *(n["key"] for n in neighborhood)})
+        cites = qs.citations(out_dir, cite_keys, limit=10).to_pylist()
 
     seen_chunks: set[str] = set()
     raw_chunks: list[str] = []
@@ -94,10 +141,33 @@ def build_context(out_dir: str, question: str, top_k: int = 5,
     return ContextBundle(
         seed_entities=seeds,
         neighborhood_nodes=neighborhood,
+        reasoning_paths=reasoning_paths,
         citations=cites,
         raw_chunks=raw_chunks,
         complexity=complexity,
     )
+
+
+def _labels_for(out_dir: str, keys: list[str]) -> dict[str, str]:
+    """key -> label via a pruned projected+filtered entities scan."""
+    import os
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    if not keys:
+        return {}
+    ds = rd.read_parquet(os.path.join(out_dir, "entities"),
+                         columns=["key", "label"],
+                         filter=pc.field("key").isin(pa_array_sorted(keys)))
+    return {r["key"]: r["label"] for r in ds.take_all()}
+
+
+def pa_array_sorted(keys):
+    import pyarrow as pa
+
+    return pa.array(sorted(set(keys)))
 
 
 def rerank_context_bundle(bundle: ContextBundle, question: str,
@@ -127,6 +197,11 @@ def rerank_context_bundle(bundle: ContextBundle, question: str,
         seed_entities=score_and_cap(bundle.seed_entities, lambda s: s["entity"], 3, 6),
         neighborhood_nodes=score_and_cap(bundle.neighborhood_nodes,
                                          lambda n: n["key"], 3, 8),
+        reasoning_paths=[
+            p["chain"] for p in score_and_cap(
+                [{"chain": c} for c in bundle.reasoning_paths],
+                lambda p: " ".join(p["chain"]), 2, 5)
+        ],
         citations=score_and_cap(bundle.citations,
                                 lambda c: c["source_text"], 3, 8),
         raw_chunks=bundle.raw_chunks[:5],
@@ -142,6 +217,10 @@ def format_context_for_prompt(bundle: ContextBundle) -> str:
     lines.append("== Neighborhood ==")
     for n in bundle.neighborhood_nodes[:10]:
         lines.append(f"- {n['key']} ({n['hops']} hops)")
+    if bundle.reasoning_paths:
+        lines.append("== Reasoning paths ==")
+        for p in bundle.reasoning_paths[:5]:
+            lines.append("- " + " -> ".join(p))
     lines.append("== Citations ==")
     for c in bundle.citations[:10]:
         lines.append(f"- [{c['section']}] {c['source_text'][:200]}")

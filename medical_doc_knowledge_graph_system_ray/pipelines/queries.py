@@ -127,13 +127,21 @@ def q_kg_chunk_embeddings(sf_dir: str):
     return ds.map_batches(norms, batch_format="pyarrow").to_pandas()
 
 
+def _entity_keys(pipe, label: str, k: int) -> list[str]:
+    """First k entity keys of a label via a pruned projected+filtered scan
+    (key column only, label predicate pushed to the parquet read) — never
+    a whole-table driver materialization."""
+    ds = rd.read_parquet(os.path.join(pipe.out, "entities"), columns=["key"],
+                         filter=pc.field("label") == label)
+    return sorted(r["key"] for r in ds.take_all())[:k]
+
+
 def q_kg_khop(sf_dir: str):
     """Q2: 2-hop neighborhoods of the first 3 patients."""
     from .queryside import expand_k_hop
 
     pipe = ensure_kg_output(sf_dir)
-    pats = sorted(r["key"] for r in pipe.read_table("entities").to_pylist()
-                  if r["label"] == "Patient")[:3]
+    pats = _entity_keys(pipe, "Patient", 3)
     out = []
     for p in pats:
         t = expand_k_hop(pipe.out, [p], hops=2, limit=100)
@@ -147,8 +155,7 @@ def q_kg_citations(sf_dir: str):
     from .queryside import citations
 
     pipe = ensure_kg_output(sf_dir)
-    conds = sorted(r["key"] for r in pipe.read_table("entities").to_pylist()
-                   if r["label"] == "Condition")[:5]
+    conds = _entity_keys(pipe, "Condition", 5)
     return citations(pipe.out, conds, limit=100)
 
 
@@ -166,8 +173,7 @@ def q_kg_condition_chains(sf_dir: str):
     from .queryside import condition_chains
 
     pipe = ensure_kg_output(sf_dir)
-    pats = sorted(r["key"] for r in pipe.read_table("entities").to_pylist()
-                  if r["label"] == "Patient")[:3]
+    pats = _entity_keys(pipe, "Patient", 3)
     rows = []
     for p in pats:
         for r in condition_chains(pipe.out, p).to_pylist():
@@ -175,6 +181,53 @@ def q_kg_condition_chains(sf_dir: str):
                          "n_medications": len(r["medications"]),
                          "n_symptoms": len(r["symptoms"])})
     return pa.Table.from_pylist(rows)
+
+
+def q_kg_paths(sf_dir: str):
+    """Q5/Q3: path reasoning — all paths (<=4 hops, LIMIT 5), shortest
+    path, seeds->target shortest paths (<=5 hops, LIMIT 5), and the
+    relationship-constrained clinical paths (<=3 hops, LIMIT 20) between
+    the first patients and the first condition. Deterministic rows-only
+    check (graph traversal is not SQL-expressible over the edge list)."""
+    from .queryside import (all_paths, find_paths_from_seeds,
+                            relationship_constrained_paths,
+                            shortest_path_detailed)
+
+    pipe = ensure_kg_output(sf_dir)
+    pats = _entity_keys(pipe, "Patient", 2)
+    conds = _entity_keys(pipe, "Condition", 1)
+    rows = []
+    if pats and conds:
+        seed, target = pats[0], conds[0]
+        for p in all_paths(pipe.out, seed, target, max_hops=4, max_paths=5):
+            rows.append({"kind": "all_paths", "seed": seed, "target": target,
+                         "entity_chain": " -> ".join(p["entity_chain"]),
+                         "rel_chain": " -> ".join(p["relationship_chain"]),
+                         "hops": p["hops"]})
+        sp = shortest_path_detailed(pipe.out, seed, target)
+        if sp:
+            rows.append({"kind": "shortest", "seed": seed, "target": target,
+                         "entity_chain": " -> ".join(sp["entity_chain"]),
+                         "rel_chain": " -> ".join(sp["relationship_chain"]),
+                         "hops": sp["hops"]})
+        for p in find_paths_from_seeds(pipe.out, pats, target,
+                                       max_hops=5, limit=5):
+            rows.append({"kind": "from_seeds", "seed": p["seed_name"],
+                         "target": target,
+                         "entity_chain": " -> ".join(p["entity_chain"]),
+                         "rel_chain": " -> ".join(p["relationship_chain"]),
+                         "hops": p["hops"]})
+        for r in relationship_constrained_paths(
+                pipe.out, [seed], max_hops=3, limit=20).to_pylist():
+            rows.append({"kind": "constrained", "seed": seed,
+                         "target": r["target"],
+                         "entity_chain": " -> ".join(r["node_chain"]),
+                         "rel_chain": " -> ".join(r["rel_chain"]),
+                         "hops": r["hops"]})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("kind", pa.string()), ("seed", pa.string()), ("target", pa.string()),
+         ("entity_chain", pa.string()), ("rel_chain", pa.string()),
+         ("hops", pa.int32())]))
 
 
 def q_kg_evaluation(sf_dir: str):
@@ -534,6 +587,7 @@ QUERIES = {
     "kg_citations": q_kg_citations,
     "kg_entity_first": q_kg_entity_first,
     "kg_condition_chains": q_kg_condition_chains,
+    "kg_paths": q_kg_paths,
     "kg_evaluation": q_kg_evaluation,
     # testdata operators
     "doc_token_counts": q_doc_token_counts,

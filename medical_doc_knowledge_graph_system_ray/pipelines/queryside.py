@@ -50,24 +50,24 @@ def expand_k_hop(out_dir: str, seed_keys: list[str], hops: int = 2,
     seeds = set(seed_keys)
     visited: dict[str, int] = {k: 0 for k in seeds}
     frontier = set(seeds)
+    pred_arr = pa.array(sorted(predicates)) if predicates is not None else None
     for h in range(1, hops + 1):
         if not frontier:
             break
-        fr = frontier  # captured by value in the closure below
+        fr_arr = pa.array(sorted(frontier))  # broadcast in the task closure
 
-        def touch(batch: pa.Table, fr=fr) -> pa.Table:
-            subj = batch.column("subj").to_pylist()
-            obj = batch.column("obj").to_pylist()
-            pred = batch.column("pred").to_pylist()
-            rows = []
-            for s, o, p in zip(subj, obj, pred):
-                if predicates is not None and p not in predicates:
-                    continue
-                if s in fr:
-                    rows.append(o)
-                if o in fr:
-                    rows.append(s)
-            return pa.table({"node": pa.array(sorted(set(rows)), type=pa.string())})
+        def touch(batch: pa.Table, fr_arr=fr_arr) -> pa.Table:
+            # vectorized frontier probe: is_in masks + take, no row loop
+            if pred_arr is not None:
+                batch = batch.filter(pc.is_in(batch.column("pred"),
+                                              value_set=pred_arr))
+            hit_s = batch.filter(pc.is_in(batch.column("subj"), value_set=fr_arr))
+            hit_o = batch.filter(pc.is_in(batch.column("obj"), value_set=fr_arr))
+            nodes = pa.concat_arrays([
+                hit_s.column("obj").combine_chunks(),
+                hit_o.column("subj").combine_chunks(),
+            ])
+            return pa.table({"node": nodes.unique()})  # per-batch partial unique
 
         ds = _read(out_dir, "triples", columns=["subj", "pred", "obj"])
         new_nodes = set(ds.map_batches(touch, batch_format="pyarrow").unique("node"))
@@ -117,69 +117,315 @@ def relationship_constrained_expansion(out_dir: str, seed_keys: list[str],
 
 # ── Q5: shortest path (bidirectional-ish BFS with parent tracking) ────
 
-def shortest_path(out_dir: str, a: str, b: str, max_hops: int = 6) -> list[str] | None:
+def shortest_path_detailed(out_dir: str, a: str, b: str,
+                           max_hops: int = 6) -> dict | None:
+    """find_shortest_path analog (path_reasoning.py:62-117): BFS with
+    parent+predicate tracking; returns entity_chain, relationship_chain,
+    hops — or None (same-node guard path_reasoning.py:70-72)."""
     if a == b:
-        return None  # same-node guard (path_reasoning.py:70-72)
-    parents: dict[str, str | None] = {a: None}
+        return None
+    parents: dict[str, tuple | None] = {a: None}
     frontier = {a}
     for _ in range(max_hops):
         if not frontier:
             break
-        fr = frontier
+        fr_arr = pa.array(sorted(frontier))
 
-        def edges_touching(batch: pa.Table, fr=fr) -> pa.Table:
-            subj = batch.column("subj").to_pylist()
-            obj = batch.column("obj").to_pylist()
-            rows_a, rows_b = [], []
-            for s, o in zip(subj, obj):
-                if s in fr:
-                    rows_a.append(s)
-                    rows_b.append(o)
-                if o in fr:
-                    rows_a.append(o)
-                    rows_b.append(s)
-            return pa.table({"frm": pa.array(rows_a, type=pa.string()),
-                             "to": pa.array(rows_b, type=pa.string())})
+        def edges_touching(batch: pa.Table, fr_arr=fr_arr) -> pa.Table:
+            # vectorized undirected frontier-edge probe (is_in + take)
+            hit_s = batch.filter(pc.is_in(batch.column("subj"), value_set=fr_arr))
+            hit_o = batch.filter(pc.is_in(batch.column("obj"), value_set=fr_arr))
+            frm = pa.concat_arrays([hit_s.column("subj").combine_chunks(),
+                                    hit_o.column("obj").combine_chunks()])
+            to = pa.concat_arrays([hit_s.column("obj").combine_chunks(),
+                                   hit_o.column("subj").combine_chunks()])
+            pred = pa.concat_arrays([hit_s.column("pred").combine_chunks(),
+                                     hit_o.column("pred").combine_chunks()])
+            return pa.table({"frm": frm, "to": to, "pred": pred})
 
-        ds = _read(out_dir, "triples", columns=["subj", "obj"])
+        ds = _read(out_dir, "triples", columns=["subj", "pred", "obj"])
         hop_edges = ds.map_batches(edges_touching, batch_format="pyarrow").take_all()
         nxt = set()
-        for e in sorted(hop_edges, key=lambda e: (e["to"], e["frm"])):
+        for e in sorted(hop_edges, key=lambda e: (e["to"], e["frm"], e["pred"])):
             if e["to"] not in parents:
-                parents[e["to"]] = e["frm"]
+                parents[e["to"]] = (e["frm"], e["pred"])
                 nxt.add(e["to"])
         if b in parents:
-            path = [b]
-            while parents[path[-1]] is not None:
-                path.append(parents[path[-1]])
-            return list(reversed(path))
+            chain, preds = [b], []
+            while parents[chain[-1]] is not None:
+                parent, p = parents[chain[-1]]
+                preds.append(p)
+                chain.append(parent)
+            return {
+                "entity_chain": list(reversed(chain)),
+                "relationship_chain": list(reversed(preds)),
+                "hops": len(preds),
+            }
         frontier = nxt
     return None
+
+
+def shortest_path(out_dir: str, a: str, b: str, max_hops: int = 6) -> list[str] | None:
+    d = shortest_path_detailed(out_dir, a, b, max_hops)
+    return d["entity_chain"] if d else None
+
+
+# ── Q5/Q3: path enumeration over a pruned k-hop subgraph ──────────────
+#
+# The reference enumerates variable-length Cypher paths in Neo4j
+# (path_reasoning.py:15-59, relationship_filter.py:19-47). Ray-Data
+# shape: a distributed bounded BFS collects the edges reachable within
+# max_hops of the seed set (one vectorized is_in-filtered scan of the
+# triples table per hop — the same broadcast-frontier pattern as
+# expand_k_hop), then simple-path enumeration runs locally over that
+# pruned subgraph. Partitioning assumption (documented): the k-hop
+# neighborhood of a seed set in a bounded-degree clinical graph is
+# driver-small; `max_edges` caps runaway hub neighborhoods.
+
+
+def _collect_subgraph_edges(out_dir: str, seed_keys: list[str], hops: int,
+                            predicates: tuple[str, ...] | None = None,
+                            max_edges: int = 200_000):
+    """Edges (subj, subj_label, pred, obj, obj_label) within `hops`
+    undirected steps of the seeds, via per-hop vectorized frontier scans."""
+    frontier = set(seed_keys)
+    visited = set(seed_keys)
+    edges: set[tuple] = set()
+    pred_arr = pa.array(sorted(predicates)) if predicates is not None else None
+    cols = ["subj", "subj_label", "pred", "obj", "obj_label"]
+    for _h in range(hops):
+        if not frontier or len(edges) >= max_edges:
+            break
+        fr_arr = pa.array(sorted(frontier))
+
+        def touch(batch: pa.Table, fr_arr=fr_arr) -> pa.Table:
+            if pred_arr is not None:
+                batch = batch.filter(pc.is_in(batch.column("pred"),
+                                              value_set=pred_arr))
+            mask = pc.or_(pc.is_in(batch.column("subj"), value_set=fr_arr),
+                          pc.is_in(batch.column("obj"), value_set=fr_arr))
+            return batch.filter(mask)
+
+        hop_edges = (_read(out_dir, "triples", columns=cols)
+                     .map_batches(touch, batch_format="pyarrow").take_all())
+        nxt = set()
+        for e in hop_edges:
+            tup = (e["subj"], e["subj_label"], e["pred"], e["obj"], e["obj_label"])
+            if tup not in edges and len(edges) < max_edges:
+                edges.add(tup)
+            for node in (e["subj"], e["obj"]):
+                if node not in visited:
+                    nxt.add(node)
+        visited |= nxt
+        frontier = nxt
+    return sorted(edges)
+
+
+def _adjacency(edges) -> dict[str, list[tuple]]:
+    """Undirected adjacency: node -> [(neighbor, pred, edge_id)]."""
+    adj: dict[str, list[tuple]] = {}
+    for i, (s, _sl, p, o, _ol) in enumerate(edges):
+        adj.setdefault(s, []).append((o, p, i))
+        adj.setdefault(o, []).append((s, p, i))
+    for v in adj.values():
+        v.sort()
+    return adj
+
+
+def _bfs_dist(adj, src: str, max_hops: int) -> dict[str, int]:
+    dist = {src: 0}
+    frontier = [src]
+    for d in range(1, max_hops + 1):
+        nxt = []
+        for node in frontier:
+            for nb, _p, _eid in adj.get(node, ()):
+                if nb not in dist:
+                    dist[nb] = d
+                    nxt.append(nb)
+        frontier = nxt
+    return dist
+
+
+def _enumerate_paths(adj, start: str, goal: str | None, max_hops: int,
+                     max_results: int = 10_000, max_steps: int = 500_000):
+    """Simple-path DFS (Cypher semantics: no repeated *relationship*,
+    nodes may repeat) up to max_hops edges. goal=None yields every path.
+    Deterministic: neighbors visited in sorted order. Hub protection:
+    goal-directed runs prune by BFS distance-to-goal (exploration stays
+    near output-bound); `max_steps` hard-bounds the walk either way —
+    a deterministic truncation, documented for hub-heavy graphs."""
+    out = []
+    path_nodes = [start]
+    path_preds: list[str] = []
+    used_edges: set[int] = set()
+    dist_to_goal = _bfs_dist(adj, goal, max_hops) if goal is not None else None
+    steps = [0]
+
+    def dfs(node: str):
+        if len(out) >= max_results or steps[0] > max_steps:
+            return
+        steps[0] += 1
+        if path_preds and (goal is None or node == goal) and node != start:
+            out.append((list(path_nodes), list(path_preds)))
+        if len(path_preds) >= max_hops:
+            return
+        for nb, p, eid in adj.get(node, ()):
+            if eid in used_edges:
+                continue
+            if dist_to_goal is not None and (
+                len(path_preds) + 1 + dist_to_goal.get(nb, max_hops + 1) > max_hops
+                and nb != goal
+            ):
+                continue
+            used_edges.add(eid)
+            path_nodes.append(nb)
+            path_preds.append(p)
+            dfs(nb)
+            path_nodes.pop()
+            path_preds.pop()
+            used_edges.discard(eid)
+
+    if goal is None or dist_to_goal.get(start, max_hops + 1) <= max_hops:
+        dfs(start)
+    return out
+
+
+def all_paths(out_dir: str, a: str, b: str, max_hops: int = 4,
+              max_paths: int = 5) -> list[dict]:
+    """Q5 bulk: every path (a)-[*..4]-(b) ORDER BY hops LIMIT max_paths
+    (path_reasoning.py:36-48 ALL_PATHS_QUERY)."""
+    if a == b:
+        return []
+    edges = _collect_subgraph_edges(out_dir, [a], max_hops)
+    adj = _adjacency(edges)
+    found = _enumerate_paths(adj, a, b, max_hops)
+    found.sort(key=lambda t: (len(t[1]), t[0]))
+    return [
+        {"entity_chain": nodes, "relationship_chain": preds, "hops": len(preds)}
+        for nodes, preds in found[:max_paths]
+    ]
+
+
+def find_paths_from_seeds(out_dir: str, seed_keys: list[str], target_key: str,
+                          max_hops: int = 5, limit: int = 5) -> list[dict]:
+    """Q5: shortest path seed -[*..5]- target per seed, ORDER BY hops
+    LIMIT 5 (path_reasoning.py:51-59 SEED_TO_NAMED_QUERY). One subgraph
+    collection serves every seed."""
+    seeds = sorted(set(seed_keys) - {target_key})
+    if not seeds:
+        return []
+    edges = _collect_subgraph_edges(out_dir, seeds, max_hops)
+    adj = _adjacency(edges)
+    out = []
+    for seed in seeds:
+        # local BFS with parent tracking over the pruned subgraph
+        parents: dict[str, tuple | None] = {seed: None}
+        frontier = [seed]
+        depth = 0
+        while frontier and target_key not in parents and depth < max_hops:
+            nxt = []
+            for node in frontier:
+                for nb, p, _eid in adj.get(node, ()):
+                    if nb not in parents:
+                        parents[nb] = (node, p)
+                        nxt.append(nb)
+            frontier = nxt
+            depth += 1
+        if target_key not in parents:
+            continue
+        chain, preds = [target_key], []
+        while parents[chain[-1]] is not None:
+            parent, p = parents[chain[-1]]
+            preds.append(p)
+            chain.append(parent)
+        out.append({
+            "seed_name": seed,
+            "entity_chain": list(reversed(chain)),
+            "relationship_chain": list(reversed(preds)),
+            "hops": len(preds),
+        })
+    out.sort(key=lambda r: (r["hops"], r["seed_name"]))
+    return out[:limit]
+
+
+def relationship_constrained_paths(out_dir: str, seed_keys: list[str],
+                                   max_hops: int = 3, limit: int = 50) -> pa.Table:
+    """Q3 full semantics (relationship_filter.py:19-47): paths from the
+    seeds along the 8 clinical predicates only, 1..max_hops, requiring
+    >=1 clinical-label node on the path; DISTINCT (target, path) rows
+    ORDER BY length LIMIT `limit`, returning node + relationship chains."""
+    from ..schemas import CLINICAL_LABELS, CLINICAL_PREDICATES
+
+    seeds = sorted(set(seed_keys))
+    if not seeds:
+        return pa.Table.from_pylist([], schema=_CONSTRAINED_PATH_SCHEMA)
+    edges = _collect_subgraph_edges(out_dir, seeds, max_hops,
+                                    predicates=CLINICAL_PREDICATES)
+    labels: dict[str, str] = {}
+    for s, sl, _p, o, ol in edges:
+        labels.setdefault(s, sl)
+        labels.setdefault(o, ol)
+    adj = _adjacency(edges)
+    clin = set(CLINICAL_LABELS)
+    rows = []
+    seen: set[tuple] = set()
+    for seed in seeds:
+        for nodes, preds in _enumerate_paths(adj, seed, None, max_hops):
+            target = nodes[-1]
+            if target == seed:
+                continue
+            if not any(labels.get(n) in clin for n in nodes):
+                continue
+            key = (target, tuple(nodes), tuple(preds))
+            if key in seen:
+                continue
+            seen.add(key)
+            rows.append({
+                "target": target,
+                "target_label": labels.get(target, ""),
+                "node_chain": list(nodes),
+                "rel_chain": list(preds),
+                "hops": len(preds),
+            })
+    rows.sort(key=lambda r: (r["hops"], r["target"], r["node_chain"]))
+    return pa.Table.from_pylist(rows[:limit], schema=_CONSTRAINED_PATH_SCHEMA)
+
+
+_CONSTRAINED_PATH_SCHEMA = pa.schema([
+    ("target", pa.string()),
+    ("target_label", pa.string()),
+    ("node_chain", pa.list_(pa.string())),
+    ("rel_chain", pa.list_(pa.string())),
+    ("hops", pa.int32()),
+])
 
 
 # ── Q4: condition chains ──────────────────────────────────────────────
 
 def condition_chains(out_dir: str, patient_number: str) -> pa.Table:
     """Per condition of the patient: treating medications + manifesting
-    symptoms, collected DISTINCT (relationship_filter.py:50-61)."""
-    tris = _read(out_dir, "triples",
-                 columns=["subj", "pred", "obj", "subj_label"]) \
-        .map_batches(
-            lambda t: t.filter(
-                pc.is_in(t.column("pred"),
-                         value_set=pa.array(["HAS_CONDITION", "TREATED_WITH",
-                                             "MANIFESTS_AS"]))),
-            batch_format="pyarrow",
-        ).take_all()
-    conds = sorted({r["obj"] for r in tris
-                    if r["pred"] == "HAS_CONDITION" and r["subj"] == patient_number})
+    symptoms, collected DISTINCT (relationship_filter.py:50-61).
+
+    Two pruned predicate-pushdown scans (row-group filters at the parquet
+    read) — never a corpus-wide collect of the clinical triples."""
+    cond_rows = _read(
+        out_dir, "triples", columns=["obj"],
+        filter_expr=(pc.field("pred") == "HAS_CONDITION")
+        & (pc.field("subj") == patient_number),
+    ).take_all()
+    conds = sorted({r["obj"] for r in cond_rows})
     meds: dict[str, set] = {c: set() for c in conds}
     syms: dict[str, set] = {c: set() for c in conds}
-    for r in tris:
-        if r["subj"] in meds:
+    if conds:
+        chain_rows = _read(
+            out_dir, "triples", columns=["subj", "pred", "obj"],
+            filter_expr=pc.field("pred").isin(["TREATED_WITH", "MANIFESTS_AS"])
+            & pc.field("subj").isin(pa.array(conds)),
+        ).take_all()
+        for r in chain_rows:
             if r["pred"] == "TREATED_WITH":
                 meds[r["subj"]].add(r["obj"])
-            elif r["pred"] == "MANIFESTS_AS":
+            else:
                 syms[r["subj"]].add(r["obj"])
     return pa.Table.from_pylist(
         [{"condition": c, "medications": sorted(meds[c]), "symptoms": sorted(syms[c])}

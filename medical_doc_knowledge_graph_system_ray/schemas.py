@@ -26,6 +26,11 @@ CLINICAL_PREDICATES = (
     "HAS_CONDITION", "EXHIBITS_SYMPTOM", "TAKES_MEDICATION", "MANIFESTS_AS",
     "TREATED_WITH", "HAS_VITAL", "HAS_RISK_FACTOR", "SCHEDULED_FOR",
 )
+# labels counting as "clinically relevant" for the Q3 path constraint
+# (reference: app/retrieval/relationship_filter.py:29-31)
+CLINICAL_LABELS = (
+    "Condition", "Medication", "Symptom", "Vital", "RiskFactor", "Procedure",
+)
 # patient-side predicates carry the doc's patient as subject
 # (reference: graph_writer.py:258-260)
 PATIENT_PREDICATES = (

@@ -1,0 +1,109 @@
+"""Path reasoning (Q5/Q3, VERDICT r1 #3) against a hand-computed graph:
+all-paths ORDER BY hops LIMIT, shortest path with relationship chain,
+seeds->target paths, and the clinical-label-on-path constraint."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_graph(tmp_path_factory):
+    """P1 -HAS_CONDITION-> hypertension -TREATED_WITH-> lisinopril
+       P1 -EXHIBITS_SYMPTOM-> headache <-MANIFESTS_AS- hypertension
+       P2 -HAS_CONDITION-> hypertension
+       P1 -SCHEDULED_FOR-> doc_x (non-clinical label)"""
+    out = str(tmp_path_factory.mktemp("paths"))
+    rows = [
+        ("P1", "Patient", "HAS_CONDITION", "hypertension", "Condition"),
+        ("hypertension", "Condition", "TREATED_WITH", "lisinopril", "Medication"),
+        ("P1", "Patient", "EXHIBITS_SYMPTOM", "headache", "Symptom"),
+        ("hypertension", "Condition", "MANIFESTS_AS", "headache", "Symptom"),
+        ("P2", "Patient", "HAS_CONDITION", "hypertension", "Condition"),
+        ("P1", "Patient", "SCHEDULED_FOR", "doc_x", "Document"),
+    ]
+    t = pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "subj_label": pa.array([r[1] for r in rows]),
+        "pred": pa.array([r[2] for r in rows]),
+        "obj": pa.array([r[3] for r in rows]),
+        "obj_label": pa.array([r[4] for r in rows]),
+        "confidence": pa.array([0.9] * len(rows), type=pa.float32()),
+        "chunk_id": pa.array(["c"] * len(rows)),
+    })
+    os.makedirs(os.path.join(out, "triples"))
+    pq.write_table(t, os.path.join(out, "triples", "part-00000.parquet"))
+    return out
+
+
+def test_all_paths_order_and_limit(ray_session, tiny_graph):
+    from medical_doc_knowledge_graph_system_ray.pipelines.queryside import all_paths
+
+    paths = all_paths(tiny_graph, "P1", "lisinopril", max_hops=4, max_paths=5)
+    chains = [(p["hops"], p["entity_chain"], p["relationship_chain"]) for p in paths]
+    assert chains[0] == (2, ["P1", "hypertension", "lisinopril"],
+                         ["HAS_CONDITION", "TREATED_WITH"])
+    assert (3, ["P1", "headache", "hypertension", "lisinopril"],
+            ["EXHIBITS_SYMPTOM", "MANIFESTS_AS", "TREATED_WITH"]) in chains
+    assert [p["hops"] for p in paths] == sorted(p["hops"] for p in paths)
+    # LIMIT respected
+    assert len(all_paths(tiny_graph, "P1", "lisinopril", max_hops=4,
+                         max_paths=1)) == 1
+    # same-node guard
+    assert all_paths(tiny_graph, "P1", "P1") == []
+
+
+def test_shortest_path_detailed(ray_session, tiny_graph):
+    from medical_doc_knowledge_graph_system_ray.pipelines.queryside import (
+        shortest_path, shortest_path_detailed)
+
+    d = shortest_path_detailed(tiny_graph, "P1", "lisinopril")
+    assert d["entity_chain"] == ["P1", "hypertension", "lisinopril"]
+    assert d["relationship_chain"] == ["HAS_CONDITION", "TREATED_WITH"]
+    assert d["hops"] == 2
+    assert shortest_path(tiny_graph, "P1", "lisinopril") == d["entity_chain"]
+    assert shortest_path_detailed(tiny_graph, "P1", "P1") is None
+    assert shortest_path_detailed(tiny_graph, "P1", "nonexistent") is None
+
+
+def test_find_paths_from_seeds(ray_session, tiny_graph):
+    from medical_doc_knowledge_graph_system_ray.pipelines.queryside import (
+        find_paths_from_seeds)
+
+    paths = find_paths_from_seeds(tiny_graph, ["P1", "headache"], "lisinopril",
+                                  max_hops=5, limit=5)
+    by_seed = {p["seed_name"]: p for p in paths}
+    assert by_seed["P1"]["entity_chain"] == ["P1", "hypertension", "lisinopril"]
+    assert by_seed["headache"]["entity_chain"] == [
+        "headache", "hypertension", "lisinopril"]
+    assert all(p["hops"] == 2 for p in paths)
+    # ordered by (hops, seed); target excluded from seeds
+    assert [p["seed_name"] for p in paths] == ["P1", "headache"]
+    assert find_paths_from_seeds(tiny_graph, ["lisinopril"], "lisinopril") == []
+
+
+def test_relationship_constrained_paths(ray_session, tiny_graph):
+    from medical_doc_knowledge_graph_system_ray.pipelines.queryside import (
+        relationship_constrained_paths)
+
+    t = relationship_constrained_paths(tiny_graph, ["P1"], max_hops=3, limit=50)
+    rows = t.to_pylist()
+    targets = {r["target"] for r in rows}
+    # clinical-predicate paths reach these
+    assert {"hypertension", "headache", "lisinopril", "P2"} <= targets
+    # the SCHEDULED_FOR edge is a clinical predicate BUT doc_x is the only
+    # non-seed node on its path and its label (Document) is non-clinical
+    one_hop_docx = [r for r in rows if r["target"] == "doc_x" and r["hops"] == 1]
+    assert one_hop_docx == []
+    # ordered by length, limit honored, chains well-formed
+    assert [r["hops"] for r in rows] == sorted(r["hops"] for r in rows)
+    for r in rows:
+        assert len(r["node_chain"]) == r["hops"] + 1
+        assert len(r["rel_chain"]) == r["hops"]
+    # P2 is reachable only through hypertension (clinical node on path)
+    p2 = [r for r in rows if r["target"] == "P2"][0]
+    assert p2["node_chain"] == ["P1", "hypertension", "P2"]
