@@ -25,6 +25,11 @@ class PipelineConfig:
     #    hashed char-ngram projection so tests are reproducible offline) ──
     embedding_dim: int = 384
     embed_chunks: bool = False             # chunk embeddings are optional for the KG path
+    # kernel for the chunk/document embedding column: "fast" (crc32 token
+    # hashing, ~50x the ngram kernel — the bulk default) or "ngram" (the
+    # char-3gram kernel the resolution semantic pass uses). Query-side
+    # scoring follows this knob so stored and query vectors always agree.
+    chunk_embedder: str = "fast"
 
     # ── Ray execution knobs ───────────────────────────────────────────────
     extract_concurrency: int = 8           # actor-pool size for the extraction stage

@@ -63,6 +63,19 @@ def cosine_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return a @ b.T
 
 
+def make_embedder(kind: str, dim: int):
+    """Embedder factory: 'fast' = FastTokenEmbedder (bulk chunk/document
+    columns — C-speed crc32 token hashing), 'ngram' = NgramEmbedder (the
+    resolution semantic pass, whose cosine thresholds the oracle must
+    reproduce bit-for-bit). Write and query sides of a vector column must
+    use the SAME kind (cfg.chunk_embedder governs both)."""
+    if kind == "fast":
+        return FastTokenEmbedder(dim)
+    if kind == "ngram":
+        return NgramEmbedder(dim)
+    raise ValueError(f"unknown embedder kind: {kind!r}")
+
+
 class FastTokenEmbedder:
     """High-throughput document embedder: crc32-hashed token features.
 

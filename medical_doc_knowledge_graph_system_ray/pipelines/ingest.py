@@ -284,13 +284,13 @@ class IngestPipeline:
                     def chunk_rows(b, cfg=cfg):
                         import numpy as np
 
-                        from ..functions.embedder import NgramEmbedder
+                        from ..functions.embedder import make_embedder
                         from ..stages import materialize as _m
 
                         t = chunk_batch(b, cfg)
                         emb = _m._BCAST.setdefault(
-                            f"__embedder_{cfg.embedding_dim}",
-                            NgramEmbedder(cfg.embedding_dim))
+                            f"__embedder_{cfg.chunk_embedder}_{cfg.embedding_dim}",
+                            make_embedder(cfg.chunk_embedder, cfg.embedding_dim))
                         vecs = emb.embed_batch(t.column("text").to_pylist())
                         arr = pa.FixedSizeListArray.from_arrays(
                             pa.array(vecs.astype(np.float32).ravel()),

@@ -49,12 +49,11 @@ def kg_config(num_patients: int) -> PipelineConfig:
         num_shards=8,
         num_output_partitions=32,
         extract_concurrency=8,
-        # embed_chunks=False: the hashed-ngram embedder costs ~0.5 ms/chunk
-        # (python loop) — at bench scale that doubles the 8-CPU wall. The
-        # vector-column path stays wired + tested (tests/test_embed_chunks.py);
-        # a real deployment embeds on GPU actors where this is the right
-        # place to pay the cost.
-        embed_chunks=False,
+        # vector-column story on by default: the crc32-token FastTokenEmbedder
+        # (cfg.chunk_embedder="fast") makes the chunk embedding column cheap
+        # enough to carry in the bench; a real deployment swaps the kernel
+        # for a GPU model in ChunkEmbedder.__init__.
+        embed_chunks=True,
     )
 
 

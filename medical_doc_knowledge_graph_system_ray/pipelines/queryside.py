@@ -28,7 +28,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..config import PipelineConfig
-from ..functions.embedder import NgramEmbedder
+from ..functions.embedder import make_embedder
 from ..schemas import CLINICAL_PREDICATES
 
 
@@ -451,7 +451,7 @@ def citations(out_dir: str, entity_keys: list[str], limit: int = 50) -> pa.Table
     chunks = {}
     if len(chunk_ids):
         for c in _read(out_dir, "chunks",
-                       columns=["chunk_id", "doc_id", "section", "text"],
+                       columns=["chunk_id", "doc_id", "seq", "section", "text"],
                        filter_expr=pc.field("chunk_id").isin(chunk_ids)).take_all():
             chunks[c["chunk_id"]] = c
     rows = []
@@ -466,14 +466,19 @@ def citations(out_dir: str, entity_keys: list[str], limit: int = 50) -> pa.Table
             "source_file": c["doc_id"],
             "confidence": float(m["confidence"]),
             "extraction_method": m["extraction_method"],
+            # provenance keys carried so downstream joins are keyed, not
+            # text-matched (FULL_TRACE_QUERY, provenance.py:50-64)
+            "chunk_id": c["chunk_id"],
+            "seq": int(c["seq"]),
         })
     rows.sort(key=lambda r: (-r["confidence"], r["entity_name"], r["source_file"]))
     return pa.Table.from_pylist(rows[:limit])
 
 
 def full_trace(out_dir: str, entity_keys: list[str], limit: int = 50) -> pa.Table:
-    """J6: citations + the NEXT chunk's text (self-join on (doc_id, seq+1),
-    provenance.py:50-64)."""
+    """J6: citations + the NEXT chunk's text, keyed self-join on
+    (doc_id, seq+1) using the chunk_id/seq carried through citations
+    (provenance.py:50-64) — correct even when two chunks share text."""
     base = citations(out_dir, entity_keys, limit=limit).to_pylist()
     if not base:
         return pa.Table.from_pylist([])
@@ -482,14 +487,8 @@ def full_trace(out_dir: str, entity_keys: list[str], limit: int = 50) -> pa.Tabl
     for c in _read(out_dir, "chunks", columns=["doc_id", "seq", "text"],
                    filter_expr=pc.field("doc_id").isin(doc_ids)).take_all():
         by_doc_seq[(c["doc_id"], c["seq"])] = c["text"]
-    # locate each citation chunk's seq via its text match fallback: re-read with seq
-    chunk_seq = {}
-    for c in _read(out_dir, "chunks", columns=["doc_id", "seq", "text"],
-                   filter_expr=pc.field("doc_id").isin(doc_ids)).take_all():
-        chunk_seq[(c["doc_id"], c["text"])] = c["seq"]
     for r in base:
-        seq = chunk_seq.get((r["source_file"], r["source_text"]))
-        r["next_text"] = by_doc_seq.get((r["source_file"], (seq or 0) + 1), "")
+        r["next_text"] = by_doc_seq.get((r["source_file"], r["seq"] + 1), "")
     return pa.Table.from_pylist(base)
 
 
@@ -516,7 +515,9 @@ def entity_first_retrieval(out_dir: str, query: str, top_k: int = 5,
 
     class ScoreChunks:
         def __init__(self):
-            self.emb = NgramEmbedder(cfg.embedding_dim)
+            # the query vector must come from the SAME kernel that produced
+            # the stored chunk column (cfg.chunk_embedder)
+            self.emb = make_embedder(cfg.chunk_embedder, cfg.embedding_dim)
             self.q = self.emb.embed_batch([query])[0]
 
         def __call__(self, batch: pa.Table) -> pa.Table:

@@ -12,14 +12,14 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import PipelineConfig
-from ..functions.embedder import NgramEmbedder
+from ..functions.embedder import make_embedder
 
 
 class ChunkEmbedder:
     """map_batches(ChunkEmbedder, concurrency=(m, n), batch_size=B[, num_gpus=g])."""
 
-    def __init__(self, dim: int = 384, text_col: str = "text"):
-        self.embedder = NgramEmbedder(dim)  # model load goes here
+    def __init__(self, dim: int = 384, text_col: str = "text", kind: str = "fast"):
+        self.embedder = make_embedder(kind, dim)  # model load goes here
         self.text_col = text_col
         self.dim = dim
 
@@ -36,7 +36,8 @@ class ChunkEmbedder:
 def embed_chunks(ds, cfg: PipelineConfig):
     return ds.map_batches(
         ChunkEmbedder,
-        fn_constructor_kwargs={"dim": cfg.embedding_dim},
+        fn_constructor_kwargs={"dim": cfg.embedding_dim,
+                               "kind": cfg.chunk_embedder},
         batch_format="pyarrow",
         batch_size=cfg.embed_batch_size,
         concurrency=(1, 4),
