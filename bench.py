@@ -53,14 +53,15 @@ def run_bench() -> dict:
     tag = os.path.basename(os.path.normpath(SF_DIR))
     n_patients = BENCH_PATIENTS.get(tag, 2000)
     cfg = Q.kg_config(n_patients)
+    ctag = Q._cfg_tag(cfg)  # config change must invalidate cached corpus/output
 
-    corpus_dir = f"/tmp/medkg_bench/corpus/{tag}-{n_patients}"
+    corpus_dir = f"/tmp/medkg_bench/corpus/{tag}-{n_patients}-{ctag}"
     synthesize_corpus_parquet(n_patients, corpus_dir, cfg)
 
     # warm the page cache (untimed)
     rd.read_parquet(corpus_dir).count()
 
-    out_dir = f"/tmp/medkg_bench/out/{tag}-{n_patients}-{NUM_CPUS}"
+    out_dir = f"/tmp/medkg_bench/out/{tag}-{n_patients}-{ctag}-{NUM_CPUS}"
     if os.path.exists(out_dir):
         shutil.rmtree(out_dir)
 
@@ -94,6 +95,10 @@ def run_bench() -> dict:
         "n_docs": rowcount_hint(corpus_dir),
         "triples": triples,
         "triples_per_sec": round(triples / e2e, 2),
+        # methodology (ADVICE r1): kg_evaluation runs 1 question per gold
+        # category in queries(); the full 11-question bank runs in pytest
+        # and `cli.py evaluate`
+        "kg_evaluation_questions": "one_per_category",
     }
 
 
@@ -136,6 +141,12 @@ def run_scaling() -> dict:
         "sf": lo["sf"],
         "queries": {"kg_e2e_8cpu": lo["value"], "kg_e2e_32cpu": hi["value"]},
         "num_cpus": hi_cpus,
+        # methodology, surfaced so consumers can interpret the figures
+        # (ADVICE r1): best-of-2 fresh processes per CPU level on the same
+        # cached corpus; scaling children run ONLY the headline ingest
+        "runs_per_level": 2,
+        "aggregation": "min",
+        "secondary_queries": False,
     }
 
 

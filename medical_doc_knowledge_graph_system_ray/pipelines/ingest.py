@@ -66,6 +66,15 @@ def _shard_expr(shard: int, num_shards: int):
     return pred
 
 
+@ray.remote
+def _file_distinct_mention_names(fp: str) -> list[str]:
+    """Per-file partial of the distinct-name aggregate, run as a Ray task
+    so the shard commit's name partial never scans columns on the driver."""
+    t = pq.read_table(fp, columns=["kind", "name"])
+    m = t.filter(pc.equal(t.column("kind"), "m"))
+    return m.column("name").unique().to_pylist()
+
+
 def _list_parquet_files(path: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
@@ -92,6 +101,7 @@ class IngestPipeline:
         cfg = self.cfg
         files = _list_parquet_files(self.docs_path)
         by_files = len(files) >= cfg.num_shards
+        self._validate_resume_lineage(files, by_files)
         try:
             cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
@@ -147,18 +157,19 @@ class IngestPipeline:
             except TypeError:  # older Ray releases
                 ds.write_parquet(tmp_dir)
             os.replace(tmp_dir, shard_dir)
-            n_rows = 0
+            # fold the distinct-name partial aggregate into the shard
+            # commit (the name-map barrier then needs no extra scan job);
+            # the per-file column scans fan out as Ray tasks — only the
+            # footer-only row counts touch the driver
+            shard_files = [os.path.join(shard_dir, f)
+                           for f in sorted(os.listdir(shard_dir))
+                           if f.endswith(".parquet")]
+            n_rows = sum(pq.read_metadata(fp).num_rows for fp in shard_files)
+            name_futs = [_file_distinct_mention_names.remote(fp)
+                         for fp in shard_files]
             shard_names: set[str] = set()
-            for f in os.listdir(shard_dir):
-                if not f.endswith(".parquet"):
-                    continue
-                fp = os.path.join(shard_dir, f)
-                n_rows += pq.read_metadata(fp).num_rows
-                # fold the distinct-name partial aggregate into the shard
-                # commit: the name-map barrier then needs no extra scan job
-                t = pq.read_table(fp, columns=["kind", "name"])
-                m = t.filter(pc.equal(t.column("kind"), "m"))
-                shard_names.update(m.column("name").unique().to_pylist())
+            for part in ray.get(name_futs):
+                shard_names.update(part)
             self.manifest.commit(
                 unit,
                 {
@@ -185,6 +196,62 @@ class IngestPipeline:
 
             with ThreadPoolExecutor(max_workers=workers) as pool:
                 list(pool.map(run_shard, pending))
+
+    # downstream units + the table dirs they own, invalidated together when
+    # any committed extraction shard's lineage no longer matches the input
+    _DOWNSTREAM_UNITS = (
+        ("name_map", "name_map.json"), ("mentions", "mentions"),
+        ("triples_raw", "triples_raw"), ("entities", "entities"),
+        ("triples", "triples"), ("chunks", "chunks"), ("spans", "spans"),
+        ("summary", None),
+    )
+
+    def _validate_resume_lineage(self, files: list[str], by_files: bool) -> None:
+        """Resume safety: a committed shard is only reusable if its recorded
+        lineage (input path, num_shards, file assignment) matches the
+        CURRENT assignment; otherwise it — and everything downstream — is
+        invalidated and recomputed (ADVICE r1: silent stale-shard reuse)."""
+        import shutil
+
+        cfg = self.cfg
+        stale = []
+        for s in range(cfg.num_shards):
+            unit = f"extraction_shard_{s:04d}"
+            rec = self.manifest.read(unit)
+            if rec is None:
+                continue
+            lin = rec.get("lineage", {})
+            cur_files = files[s :: cfg.num_shards] if by_files else "hash"
+            if (lin.get("input") != self.docs_path
+                    or lin.get("num_shards") != cfg.num_shards
+                    or lin.get("files") != cur_files):
+                stale.append((s, unit))
+        # chunks/spans depend only on the input docs: validate their own
+        # recorded lineage (covers input changes with no committed shards)
+        doc_stale = False
+        for unit in ("chunks", "spans"):
+            rec = self.manifest.read(unit)
+            if rec is None or "lineage" not in rec:
+                continue
+            lin = rec["lineage"]
+            if lin.get("input") != self.docs_path or lin.get("files") != files:
+                doc_stale = True
+        if not stale and not doc_stale:
+            return
+        for s, unit in stale:
+            self.manifest.invalidate(unit)
+            d = os.path.join(self.out, "extraction", f"shard={s:04d}")
+            if os.path.isdir(d):
+                shutil.rmtree(d)
+        for unit, artifact in self._DOWNSTREAM_UNITS:
+            self.manifest.invalidate(unit)
+            if artifact is None:
+                continue
+            p = os.path.join(self.out, artifact)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+            elif os.path.isfile(p):
+                os.remove(p)
 
     def _extraction_ds(self, columns: list[str] | None = None) -> rd.Dataset:
         return rd.read_parquet(os.path.join(self.out, "extraction"), columns=columns)
@@ -248,6 +315,11 @@ class IngestPipeline:
         per-job cost instead of serializing it."""
         t_start = time.time()
         cfg = self.cfg
+        # lineage check must precede the side threads: a stale-but-committed
+        # chunks/spans unit would otherwise be skipped by the side job and
+        # then deleted by the validation inside run_extraction
+        files0 = _list_parquet_files(self.docs_path)
+        self._validate_resume_lineage(files0, len(files0) >= cfg.num_shards)
 
         side_errors: list[BaseException] = []
         side_threads = []
@@ -318,12 +390,13 @@ class IngestPipeline:
                               "key_col": "doc_id", "sort_keys": ["doc_id", "span_seq"],
                               "schema": SPANS_SCHEMA, "finalize_fn": None,
                               "num_partitions": cfg.num_output_partitions})
-            results = write_partitioned_multi(
-                {"files": _list_parquet_files(self.docs_path)}, specs)
+            doc_files = _list_parquet_files(self.docs_path)
+            results = write_partitioned_multi({"files": doc_files}, specs)
             secs = round(time.time() - t0, 3)
             for name, rows in results.items():
                 self.manifest.commit(name, {
                     "stage": name, "partitions": rows,
+                    "lineage": {"input": self.docs_path, "files": doc_files},
                     "rows": sum(r["rows"] for r in rows), "seconds": secs,
                 })
 
@@ -347,7 +420,9 @@ class IngestPipeline:
                 {"name": "mentions", "path": os.path.join(self.out, "mentions"),
                  "row_fn": RemapMentions, "key_col": "chunk_id",
                  "sort_keys": ["order_key"], "schema": MENTIONS_SCHEMA_FINAL,
-                 "finalize_fn": _props_json_to_map,
+                 # global per-chunk dedup (bucketed by chunk_id) + JSON->map
+                 "finalize_fn": lambda t: _props_json_to_map(
+                     mat.mention_finalize_partition(t)),
                  "num_partitions": cfg.num_output_partitions},
                 {"name": "triples_raw", "path": os.path.join(self.out, "triples_raw"),
                  "row_fn": RemapTriplesNoJoin, "key_col": "subj",

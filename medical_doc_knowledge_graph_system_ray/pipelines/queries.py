@@ -57,15 +57,27 @@ def kg_config(num_patients: int) -> PipelineConfig:
     )
 
 
+def _cfg_tag(cfg: PipelineConfig) -> str:
+    """Cache key component: a config change must invalidate the /tmp cache
+    (a stale cached run would otherwise short-circuit via its manifest)."""
+    import dataclasses
+    import hashlib
+    import json as _json
+
+    blob = _json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+    return hashlib.blake2b(blob.encode(), digest_size=4).hexdigest()
+
+
 def ensure_kg_output(sf_dir: str, scratch: str = "/tmp/medkg") -> IngestPipeline:
     """Synthesize the interleaved corpus for this scale (cached) and run the
     ingest pipeline (resumable; a completed run is a no-op)."""
     tag = _sf_tag(sf_dir)
     n = _SF_PATIENTS.get(tag, _DEFAULT_PATIENTS)
     cfg = kg_config(n)
-    corpus_dir = os.path.join(scratch, "corpus", f"{tag}-{n}")
+    ctag = _cfg_tag(cfg)
+    corpus_dir = os.path.join(scratch, "corpus", f"{tag}-{n}-{ctag}")
     synthesize_corpus_parquet(n, corpus_dir, cfg)
-    out_dir = os.path.join(scratch, "out", f"{tag}-{n}")
+    out_dir = os.path.join(scratch, "out", f"{tag}-{n}-{ctag}")
     pipe = IngestPipeline(corpus_dir, cfg, output_dir=out_dir)
     if not pipe.manifest.is_committed("summary"):
         pipe.run()
@@ -307,9 +319,11 @@ def q_doc_char_stats(sf_dir: str):
     def stats(batch: pa.Table) -> pa.Table:
         import re
 
+        # ASCII \w to match DuckDB's RE2 semantics on non-ASCII text
+        punct_re = re.compile(r"[^\w\s]", re.ASCII)
         texts = batch.column("text").to_pylist()
         n_chars = [len(t) for t in texts]
-        n_punct = [len(re.findall(r"[^\w\s]", t)) for t in texts]
+        n_punct = [len(punct_re.findall(t)) for t in texts]
         return pa.table({
             "doc_id": batch.column("doc_id"),
             "n_chars": pa.array(n_chars, type=pa.int64()),
@@ -337,14 +351,18 @@ def q_top_users_by_value(sf_dir: str):
 def q_events_hourly(sf_dir: str):
     from ..stages.aggregates import preagg_sum_count
 
-    def add_hour(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["hour"] = batch["ts"].dt.floor("h")
-        return batch[["hour", "event_type", "value"]]
+    def add_hour(batch: pa.Table) -> pa.Table:
+        # Arrow-native hour floor — no pandas conversion in the hot stage
+        return pa.table({
+            "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
+            "event_type": batch.column("event_type"),
+            "value": batch.column("value"),
+        })
 
     ds = (
         rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                         columns=["ts", "event_type", "value"])
-        .map_batches(add_hour, batch_format="pandas")
+        .map_batches(add_hour, batch_format="pyarrow")
     )
     out = preagg_sum_count(ds, ["hour", "event_type"], ["value"], "n").to_pandas()
     out = out.rename(columns={"value": "total"})
@@ -612,7 +630,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "doc_token_counts": (
-        "SELECT doc_id, CAST(array_length(string_split_regex(trim(text), '\\s+')) AS BIGINT)"
+        "SELECT doc_id, CAST(array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)"
         " AS n_tokens FROM documents"
     ),
     "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
@@ -668,6 +686,40 @@ ORACLE_SQL = {
         "SELECT o.o_orderstatus, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)"
         " AS total_revenue, count(*) AS n_lines FROM lineitem l "
         "JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1 ORDER BY 1"
+    ),
+    "quality_scores": (
+        "WITH f AS (SELECT doc_id, "
+        "CAST(length(text) AS BIGINT) AS n_chars, "
+        "CAST(array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT) AS n_tokens, "
+        "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 "
+        "/ greatest(length(text), 1) AS praw, "
+        "len(list_filter(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), "
+        "x -> list_contains(['the','and','of','to','a','in','is','for','on','with'], "
+        "lower(x)))) * 1.0 "
+        "/ greatest(array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')), 1) AS sraw "
+        "FROM documents) "
+        "SELECT doc_id, n_tokens, round(praw, 6) AS punct_ratio, "
+        "round(sraw, 6) AS stopword_ratio, "
+        "round(least(greatest(n_tokens/100.0, 0), 1)*0.4 "
+        "+ least(greatest(1.0 - praw*4.0, 0), 1)*0.3 "
+        "+ least(greatest(sraw*5.0, 0), 1)*0.3, 6) AS quality_score "
+        "FROM f ORDER BY doc_id"
+    ),
+    "langid_pred": (
+        "WITH w AS (SELECT doc_id, "
+        "list_distinct(list_slice(regexp_extract_all(lower(text), '[a-z]+'), 1, 200)) AS ws "
+        "FROM documents), "
+        "h AS (SELECT doc_id, "
+        "len(list_filter(ws, x -> list_contains(['the','and','of','to','a','in','is','for','on','with'], x))) AS en, "
+        "len(list_filter(ws, x -> list_contains(['el','la','de','que','y','en','un','por','con','los'], x))) AS es, "
+        "len(list_filter(ws, x -> list_contains(['le','la','de','et','les','des','un','une','du','en'], x))) AS fr, "
+        "len(list_filter(ws, x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','im'], x))) AS de "
+        "FROM w) "
+        "SELECT doc_id, CASE WHEN greatest(en,es,fr,de) = 0 THEN 'unknown' "
+        "WHEN en = greatest(en,es,fr,de) THEN 'en' "
+        "WHEN es = greatest(en,es,fr,de) THEN 'es' "
+        "WHEN fr = greatest(en,es,fr,de) THEN 'fr' "
+        "ELSE 'de' END AS lang_pred FROM h ORDER BY doc_id"
     ),
     "embedding_neardup": (
         "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -172,6 +172,22 @@ _ENTITY_CAND_SCHEMA = pa.schema(
 )
 
 
+def mention_finalize_partition(t: pa.Table) -> pa.Table:
+    """Partition-level (chunk_id, canonical_name, label) max-confidence
+    dedup. The batch-local dedup in remap_mentions_batch misses a chunk
+    whose extraction rows straddle a block split; the mentions write
+    buckets by chunk_id, so this finalize makes the MERGE-uniqueness
+    global at negligible cost (ADVICE r1)."""
+    if t.num_rows == 0:
+        return t
+    df = t.to_pandas()
+    df = df.sort_values(["confidence", "order_key"], ascending=[False, True],
+                        kind="stable")
+    df = df.drop_duplicates(subset=["chunk_id", "canonical_name", "label"],
+                            keep="first")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def entity_finalize_partition(t: pa.Table) -> pa.Table:
     """Vectorized per-partition first-writer-wins reduce.
 

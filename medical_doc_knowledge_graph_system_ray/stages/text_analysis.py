@@ -50,11 +50,16 @@ class LangId:
 
 
 def token_count_batch(batch: pa.Table) -> pa.Table:
-    """Whitespace token count + a BPE-ish subword estimate (regex pieces)."""
+    """Whitespace token count + a BPE-ish subword estimate (regex pieces).
+
+    Text is trimmed before splitting so the count matches the DuckDB
+    oracle (`string_split_regex(trim(text), '\\s+')`) on inputs with
+    leading/trailing whitespace (ADVICE r1)."""
     import pyarrow.compute as pc
 
     texts = batch.column("text")
-    ws = pc.list_value_length(pc.split_pattern_regex(texts, r"\s+"))
+    ws = pc.list_value_length(
+        pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+"))
     piece_re = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
     pieces = pa.array([len(piece_re.findall(t)) for t in texts.to_pylist()],
                       type=pa.int64())
@@ -71,7 +76,8 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     n_tokens = tokens.str.len().fillna(0).astype("int64")
     mean_tok_len = (texts.str.replace(r"\s+", "", regex=True).str.len() /
                     n_tokens.clip(lower=1))
-    punct_ratio = texts.str.count(r"[^\w\s]") / n_chars.clip(lower=1)
+    # ASCII \w: matches the DuckDB (RE2) oracle on non-ASCII text
+    punct_ratio = texts.str.count(re.compile(r"[^\w\s]", re.ASCII)) / n_chars.clip(lower=1)
     stop = _LANG_PROFILES["en"]
     stop_ratio = tokens.map(
         lambda ws: sum(w.lower() in stop for w in ws) / max(len(ws), 1)

@@ -41,6 +41,14 @@ class Manifest:
         except FileNotFoundError:
             return None
 
+    def invalidate(self, unit: str) -> None:
+        """Drop a unit's commit (used when its recorded lineage no longer
+        matches the current input assignment)."""
+        try:
+            os.remove(self._path(unit))
+        except FileNotFoundError:
+            pass
+
     def all_units(self) -> dict[str, dict]:
         out = {}
         for f in sorted(os.listdir(self.dir)):
