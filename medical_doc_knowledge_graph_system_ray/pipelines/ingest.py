@@ -66,10 +66,21 @@ def _shard_expr(shard: int, num_shards: int):
     return pred
 
 
-@ray.remote
+@ray.remote(num_cpus=0)
 def _file_distinct_mention_names(fp: str) -> list[str]:
     """Per-file partial of the distinct-name aggregate, run as a Ray task
-    so the shard commit's name partial never scans columns on the driver."""
+    so the shard commit's name partial never scans columns on the driver.
+
+    num_cpus=0: the shard commit blocks on these short I/O-bound column
+    reads; with a CPU reservation they queue behind the (saturated)
+    extraction actor pools and stretch every wave by 10-20 s at 32 CPUs.
+
+    Note: an overlapped mentions exchange (per-shard chunk_id-bucketed
+    partials written here, partition-local remap after the name map) was
+    measured and REVERTED: on a saturated single node it re-reads and
+    re-writes the mention volume with no idle slack to hide it (+20 s
+    e2e at 32 CPUs vs the shared-scan two-spec exchange). On a cluster
+    with I/O slack during extraction it becomes attractive again."""
     t = pq.read_table(fp, columns=["kind", "name"])
     m = t.filter(pc.equal(t.column("kind"), "m"))
     return m.column("name").unique().to_pylist()
@@ -106,15 +117,20 @@ class IngestPipeline:
             cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             cluster_cpus = 4
-        workers = (max(1, min(4, cluster_cpus // 8, cfg.num_shards))
-                   if cluster_cpus >= 16 else 1)
+        # single wave: every pending shard job runs concurrently with a
+        # smaller per-shard pool, instead of 2 waves of num_shards/2 jobs
+        # whose pools saturate the node (the wave barrier serialized ~10 s
+        # of tail at 32 CPUs). Pool ceiling leaves ~1/4 of the node for
+        # read/split tasks and the concurrent chunks/spans side job.
+        workers = cfg.num_shards if cluster_cpus >= 16 else 1
         # chunk+extract fuse into the actor pool, so pool size IS the shard's
         # parallelism. Autoscaling floor of 1: empirically the best total-throughput
         # config at both 8 and 32 CPUs — higher floors starve the unfused
         # read tasks and the concurrent chunks/spans side job (measured up
         # to 2x end-to-end regression on an 8-CPU cluster)
         pool_min = 1
-        pool_max = cfg.extract_concurrency
+        pool_max = (max(2, (cluster_cpus * 3 // 4) // cfg.num_shards)
+                    if cluster_cpus >= 16 else cfg.extract_concurrency)
 
         def run_shard(shard: int) -> None:
             unit = f"extraction_shard_{shard:04d}"
@@ -336,6 +352,7 @@ class IngestPipeline:
             t = threading.Thread(target=wrapped, daemon=True)
             t.start()
             side_threads.append(t)
+            return t
 
         # chunks + spans: ONE documents scan, one multi-output exchange
         def chunks_spans_stage():
@@ -408,7 +425,8 @@ class IngestPipeline:
 
         # Phase A — ONE materialization of extraction feeds BOTH heavy
         # outputs through a single multi-output exchange:
-        #   mentions table (remap + chunk-local dedup, bucketed by chunk_id)
+        #   mentions table (remap + partition-global dedup, bucketed by
+        #   chunk_id)
         #   triples_raw  (endpoint remap + partial (s,p,o) dedup, bucketed by
         #   subj; dangling semi-join deferred — entities don't exist yet)
         RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)

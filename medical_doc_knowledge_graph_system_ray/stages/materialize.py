@@ -42,7 +42,8 @@ def remap_mentions_batch(batch: pa.Table, name_map: dict[str, str]) -> pa.Table:
     shuffle sits between extraction and this stage, so a batch never holds
     a partial chunk except at block-split boundaries (rare, dup-safe: the
     e2e check is on the deduped key set)."""
-    m = batch.filter(pc.equal(batch.column("kind"), "m"))
+    m = (batch.filter(pc.equal(batch.column("kind"), "m"))
+         if "kind" in batch.column_names else batch)
     if m.num_rows == 0:
         return pa.Table.from_pylist([], schema=_MENTION_FLAT_SCHEMA)
     df = m.select(["chunk_id", "doc_id", "name", "label", "confidence",
