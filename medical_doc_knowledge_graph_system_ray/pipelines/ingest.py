@@ -459,21 +459,30 @@ class IngestPipeline:
                 })
 
         # Phase B — entities from the mentions table (already remapped +
-        # deduped); per-batch partial first-writer (combiner), global reduce
-        # vectorized inside the bucketed write (bucket key = entity key
-        # co-locates every candidate of a (label, key))
-        self._write_stage(
-            "entities",
-            lambda: (
-                rd.read_parquet(os.path.join(self.out, "mentions"),
-                                columns=["canonical_name", "label", "order_key",
-                                         "extraction_method", "properties"])
-                .map_batches(mat.entity_candidates_from_mentions_batch,
-                             batch_format="pyarrow")
-            ),
-            "key", ["label", "key"], ENTITIES_SCHEMA_FINAL, "entities",
-            finalize_fn=lambda t: _props_json_to_map(mat.entity_finalize_partition(t)),
-        )
+        # deduped); per-split-task partial first-writer (combiner), global
+        # reduce vectorized inside the bucketed write (bucket key = entity
+        # key co-locates every candidate of a (label, key)). The files-dict
+        # source lets split tasks read the pruned mention columns directly —
+        # no Dataset scan job in front of the exchange.
+        if not self.manifest.is_committed("entities"):
+            t0 = time.time()
+            results = write_partitioned_multi(
+                {"files": _list_parquet_files(os.path.join(self.out, "mentions")),
+                 "columns": ["canonical_name", "label", "order_key",
+                             "extraction_method", "properties"]},
+                [{"name": "entities", "path": os.path.join(self.out, "entities"),
+                  "row_fn": mat.entity_candidates_from_mentions_batch,
+                  "key_col": "key", "sort_keys": ["label", "key"],
+                  "schema": ENTITIES_SCHEMA_FINAL,
+                  "finalize_fn": lambda t: _props_json_to_map(
+                      mat.entity_finalize_partition(t)),
+                  "num_partitions": cfg.num_output_partitions}])
+            rows = results["entities"]
+            self.manifest.commit("entities", {
+                "stage": "entities", "partitions": rows,
+                "rows": sum(r["rows"] for r in rows),
+                "seconds": round(time.time() - t0, 3),
+            })
 
         entity_keys = self._collect_entity_keys()
         if cfg.entity_filter_mode == "bloom":

@@ -241,6 +241,55 @@ def q_kg_paths(sf_dir: str):
          ("hops", pa.int32())]))
 
 
+def q_kg_full_trace(sf_dir: str):
+    """J6: citations + keyed NEXT-chunk text for the first 3 conditions."""
+    from .queryside import full_trace
+
+    pipe = ensure_kg_output(sf_dir)
+    conds = _entity_keys(pipe, "Condition", 3)
+    t = full_trace(pipe.out, conds, limit=50)
+    if t.num_rows == 0:
+        return t
+    return t.select(["entity_name", "source_file", "chunk_id", "seq",
+                     "confidence", "next_text"])
+
+
+def q_kg_explore(sf_dir: str):
+    """/graph/explore analog: nodes AND edges of the first patient's
+    2-hop neighborhood, as one table (kind = node|edge)."""
+    from .queryside import explore
+
+    pipe = ensure_kg_output(sf_dir)
+    pats = _entity_keys(pipe, "Patient", 1)
+    d = explore(pipe.out, pats[0], hops=2, limit=50)
+    rows = [{"kind": "node", "a": n["key"], "b": "", "pred": "",
+             "hops": n["hops"]} for n in d["nodes"]]
+    rows += [{"kind": "edge", "a": e["subj"], "b": e["obj"],
+              "pred": e["pred"], "hops": -1} for e in d["edges"]]
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("kind", pa.string()), ("a", pa.string()), ("b", pa.string()),
+         ("pred", pa.string()), ("hops", pa.int32())]))
+
+
+def q_kg_context(sf_dir: str):
+    """Q7/Q8: the full context-assembly + rerank composition for one
+    complex question, flattened to (section, item) rows."""
+    from .context import build_context, rerank_context_bundle
+
+    pipe = ensure_kg_output(sf_dir)
+    q = "how are the patient conditions and medications related"
+    bundle = rerank_context_bundle(build_context(pipe.out, q), q)
+    rows = [{"section": "seed", "item": s["entity"]} for s in bundle.seed_entities]
+    rows += [{"section": "node", "item": n["key"]} for n in bundle.neighborhood_nodes]
+    rows += [{"section": "path", "item": " -> ".join(p)}
+             for p in bundle.reasoning_paths]
+    rows += [{"section": "citation", "item": c["chunk_id"]}
+             for c in bundle.citations]
+    rows.append({"section": "complexity", "item": bundle.complexity})
+    return pa.Table.from_pylist(rows, schema=pa.schema(
+        [("section", pa.string()), ("item", pa.string())]))
+
+
 def q_kg_evaluation(sf_dir: str):
     """E4: the evaluation harness aggregates as a table (one question per
     category here — each RAG call is several Ray jobs; the full 11-question
@@ -559,6 +608,20 @@ def q_langid_pred(sf_dir: str):
     return out[["doc_id", "lang_pred"]].sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_fingerprints(sf_dir: str):
+    """Winnowing-style rolling-hash fingerprints + simhash per document
+    (rows-only: the hash kernels are not SQL-expressible)."""
+    from ..stages.text_analysis import Fingerprinter
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(Fingerprinter, batch_format="pyarrow", concurrency=(1, 2))
+        .select_columns(["doc_id", "n_fingerprints", "simhash"])
+        .to_pandas()
+    )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_embedding_neardup(sf_dir: str):
     """Exact cosine >= 0.45 pairs (blocked all-pairs; DuckDB-oracled)."""
     from ..stages.dedup import embedding_neardup_exact
@@ -605,6 +668,9 @@ QUERIES = {
     "kg_entity_first": q_kg_entity_first,
     "kg_condition_chains": q_kg_condition_chains,
     "kg_paths": q_kg_paths,
+    "kg_full_trace": q_kg_full_trace,
+    "kg_explore": q_kg_explore,
+    "kg_context": q_kg_context,
     "kg_evaluation": q_kg_evaluation,
     # testdata operators
     "doc_token_counts": q_doc_token_counts,
@@ -626,6 +692,7 @@ QUERIES = {
     "langid_pred": q_langid_pred,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "doc_fingerprints": q_doc_fingerprints,
 }
 
 ORACLE_SQL = {
