@@ -4,6 +4,7 @@ API, SURVEY.md §2.11). Designed to run under ``ray job submit``:
   python -m medical_doc_knowledge_graph_system_ray.cli ingest --docs DIR --out DIR
   python -m medical_doc_knowledge_graph_system_ray.cli query --out DIR --question "..." [--strategy graph|vector|both]
   python -m medical_doc_knowledge_graph_system_ray.cli explore --out DIR --key NAME [--hops 2]
+  python -m medical_doc_knowledge_graph_system_ray.cli paths --out DIR --a K1 --b K2 | --seeds K1,K2 [--target K]
   python -m medical_doc_knowledge_graph_system_ray.cli stats --out DIR
   python -m medical_doc_knowledge_graph_system_ray.cli evaluate --out DIR
   python -m medical_doc_knowledge_graph_system_ray.cli synth --patients N --out DIR
@@ -52,6 +53,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--key", required=True)
     sp.add_argument("--hops", type=int, default=2)
 
+    sp = sub.add_parser("paths", help="path reasoning (Q5/Q3): --a/--b for "
+                        "all+shortest paths, --seeds/--target for seed paths, "
+                        "--seeds alone for clinically-constrained paths")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--a")
+    sp.add_argument("--b")
+    sp.add_argument("--seeds", help="comma-separated entity keys")
+    sp.add_argument("--target")
+    sp.add_argument("--max-hops", type=int, default=4)
+    sp.add_argument("--max-paths", type=int, default=5)
+    sp.add_argument("--limit", type=int, default=50)
+
     sp = sub.add_parser("stats", help="graph stats (G6)")
     sp.add_argument("--out", required=True)
 
@@ -90,6 +103,27 @@ def main(argv: list[str] | None = None) -> int:
         from .pipelines.queryside import explore
 
         print(json.dumps(explore(args.out, args.key, hops=args.hops), default=str))
+    elif args.cmd == "paths":
+        from .pipelines.queryside import (all_paths, find_paths_from_seeds,
+                                          relationship_constrained_paths,
+                                          shortest_path_detailed)
+
+        if args.a and args.b:
+            out = {"shortest": shortest_path_detailed(args.out, args.a, args.b),
+                   "all_paths": all_paths(args.out, args.a, args.b,
+                                          max_hops=args.max_hops,
+                                          max_paths=args.max_paths)}
+        elif args.seeds and args.target:
+            out = {"from_seeds": find_paths_from_seeds(
+                args.out, args.seeds.split(","), args.target,
+                max_hops=min(args.max_hops, 5), limit=args.max_paths)}
+        elif args.seeds:
+            out = {"constrained": relationship_constrained_paths(
+                args.out, args.seeds.split(","), max_hops=min(args.max_hops, 3),
+                limit=args.limit).to_pylist()}
+        else:
+            p.error("paths requires --a/--b, or --seeds [--target]")
+        print(json.dumps(out, default=str))
     elif args.cmd == "stats":
         from .pipelines.ingest import IngestPipeline
 

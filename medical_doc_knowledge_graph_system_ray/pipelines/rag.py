@@ -219,18 +219,16 @@ def run_evaluation(out_dir: str, cfg: PipelineConfig | None = None,
 def _expected_terms(out_dir: str, gold: dict) -> list[str]:
     """Gold terms = actual entity keys of the expected labels (the synthetic
     corpus defines ground truth)."""
-    import pyarrow.parquet as pq
     import os
 
-    t = None
-    tdir = os.path.join(out_dir, "entities")
-    parts = [os.path.join(tdir, f) for f in sorted(os.listdir(tdir))
-             if f.endswith(".parquet")]
     import pyarrow as pa
+    import pyarrow.dataset as pads
 
-    t = pa.concat_tables([pq.read_table(p, columns=["label", "key"]) for p in parts])
-    keys = [r["key"] for r in t.to_pylist() if r["label"] in gold["expect_labels"]]
-    return sorted(set(keys))[:10]
+    # pruned projected + label-filtered scan (no whole-table driver read)
+    dset = pads.dataset(os.path.join(out_dir, "entities"), format="parquet")
+    t = dset.to_table(columns=["key"],
+                      filter=pads.field("label").isin(list(gold["expect_labels"])))
+    return sorted(set(t.column("key").to_pylist()))[:10]
 
 
 def generate_report(records: list, aggregates: dict) -> str:
