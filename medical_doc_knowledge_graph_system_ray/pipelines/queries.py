@@ -471,6 +471,24 @@ def q_embedding_topk(sf_dir: str):
     return out
 
 
+def q_embedding_topk_ivf(sf_dir: str):
+    """T2 scale path: IVF-bucketed ANN top-k (rows-only — approximate by
+    design; tests assert recall vs the oracled brute-force baseline)."""
+    from ..stages.similarity import build_ivf_centroids, ivf_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    sample = np.array(
+        pq.read_table(emb_path, columns=["embedding"]).column("embedding")
+        .to_pylist()[:512], dtype=np.float32)
+    cents = build_ivf_centroids(sample, n_clusters=16)
+    q0 = pq.read_table(emb_path).filter(pc.equal(pc.field("vec_id"), 0))
+    qvec = np.array(q0.column("embedding").to_pylist(), dtype=np.float64)
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    out = ivf_topk(ds, qvec, cents, k=10, n_probe=4).to_pandas()
+    return out[["vec_id", "score"]].sort_values(
+        ["score", "vec_id"], ascending=[False, True]).reset_index(drop=True)
+
+
 def q_region_customer_counts(sf_dir: str):
     """Broadcast join: nation+region dims shipped once via ray.put."""
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
@@ -622,6 +640,21 @@ def q_doc_fingerprints(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact word-3-gram Jaccard >= 0.5 pairs (blocked all-pairs;
+    DuckDB list-lambda oracle)."""
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(sf_dir, ["doc_id", "text"]),
+                              threshold=0.5).to_pandas()
+    if len(out) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 def q_embedding_neardup(sf_dir: str):
     """Exact cosine >= 0.45 pairs (blocked all-pairs; DuckDB-oracled)."""
     from ..stages.dedup import embedding_neardup_exact
@@ -683,6 +716,7 @@ QUERIES = {
     "events_asof_signup": q_events_asof_signup,
     "error_or_signup_users": q_error_or_signup_users,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "region_customer_counts": q_region_customer_counts,
     "lineitem_pricing_summary": q_lineitem_pricing_summary,
     "order_revenue_by_status": q_order_revenue_by_status,
@@ -692,6 +726,7 @@ QUERIES = {
     "langid_pred": q_langid_pred,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_fingerprints": q_doc_fingerprints,
 }
 
@@ -787,6 +822,21 @@ ORACLE_SQL = {
         "WHEN es = greatest(en,es,fr,de) THEN 'es' "
         "WHEN fr = greatest(en,es,fr,de) THEN 'fr' "
         "ELSE 'de' END AS lang_pred FROM h ORDER BY doc_id"
+    ),
+    "ngram_jaccard_pairs": (
+        "WITH toks AS (SELECT doc_id, string_split_regex("
+        "regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'), '\\s+') AS t "
+        "FROM documents), "
+        "sh AS (SELECT doc_id, CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(t) - 1), "
+        "i -> array_to_string(list_slice(t, i, i + 2), ' '))) END AS s FROM toks) "
+        "SELECT a.doc_id AS a, b.doc_id AS b, "
+        "round(len(list_intersect(a.s, b.s)) * 1.0 / "
+        "greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) AS jaccard "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE round(len(list_intersect(a.s, b.s)) * 1.0 / "
+        "greatest(len(list_distinct(list_concat(a.s, b.s))), 1), 6) >= 0.5 "
+        "ORDER BY a, b"
     ),
     "embedding_neardup": (
         "SELECT a.vec_id AS a, b.vec_id AS b, "

@@ -222,6 +222,60 @@ def minhash_lsh_dedup(ds, jaccard_threshold: float = 0.8,
     return ds.map_batches(assign, batch_format="pyarrow")
 
 
+_JACCARD_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("jaccard", pa.float64())])
+
+
+def ngram_jaccard_pairs(ds, threshold: float = 0.5, shingle_n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text"):
+    """Exact all-pairs word-n-gram Jaccard >= threshold as distributed
+    block-pair tasks (the SQL-expressible verified baseline; the
+    subquadratic scale path is minhash_lsh_dedup). Shingle sets are
+    computed once per block; every block pair is one task. Returns a Ray
+    Dataset of (a, b, jaccard) with a < b, jaccard rounded to 6."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.io import _grouped_refs
+
+    @ray.remote
+    def shingle_block(*tabs: pa.Table):
+        t = pa.concat_tables([x for x in tabs if x.num_rows > 0],
+                             promote_options="default") \
+            if any(x.num_rows for x in tabs) else tabs[0]
+        ids = t.column(id_col).to_pylist()
+        sets = [frozenset(word_shingles(x, shingle_n))
+                for x in t.column(text_col).to_pylist()]
+        return ids, sets
+
+    @ray.remote
+    def pair_block(blk_a, blk_b, same: bool) -> pa.Table:
+        ids_a, sa = blk_a
+        ids_b, sb = blk_b
+        rows = []
+        for i in range(len(ids_a)):
+            for j in range(len(ids_b)):
+                a, b = ids_a[i], ids_b[j]
+                if same and a >= b:
+                    continue
+                if a > b:
+                    a, b = b, a
+                ua = sa[i] | sb[j]
+                jac = round(len(sa[i] & sb[j]) / max(len(ua), 1), 6) if ua else 1.0
+                if jac >= threshold:
+                    rows.append({"a": a, "b": b, "jaccard": jac})
+        return pa.Table.from_pylist(rows, schema=_JACCARD_SCHEMA)
+
+    groups = _grouped_refs(ds.map_batches(
+        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"))
+    blocks = [shingle_block.remote(*g) for g in groups]
+    futs = [pair_block.remote(blocks[i], blocks[j], i == j)
+            for i in range(len(blocks)) for j in range(i, len(blocks))]
+    if not futs:
+        return rd.from_arrow(pa.Table.from_pylist([], schema=_JACCARD_SCHEMA))
+    return rd.from_arrow_refs(futs)
+
+
 # ── simhash near-dup ───────────────────────────────────────────────────
 
 def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
