@@ -79,6 +79,7 @@ def run_bench() -> dict:
     # efficiency measurement)
     if not os.environ.get("GRAFT_SCALING_CHILD"):
         for name in ("exact_dedup_docs", "minhash_dedup_docs", "embedding_topk",
+                     "embedding_neardup", "ngram_jaccard_pairs",
                      "lineitem_pricing_summary", "events_hourly", "doc_token_counts"):
             t0 = time.time()
             Q.QUERIES[name](SF_DIR)
