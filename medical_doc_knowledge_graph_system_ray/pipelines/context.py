@@ -76,9 +76,10 @@ def _extract_reasoning_paths(out_dir: str, seed_keys: list[str],
                if n.get("label") in _PATH_TARGET_LABELS][:5]
     paths: list[list[str]] = []
     seen: set[tuple] = set()
+    by_target = qs.find_paths_from_seeds_multi(out_dir, seed_keys, targets,
+                                               max_hops=5, limit=5)
     for target in targets:
-        for p in qs.find_paths_from_seeds(out_dir, seed_keys, target,
-                                          max_hops=5, limit=5):
+        for p in by_target[target]:
             chain = p["entity_chain"]
             if len(chain) >= 2 and tuple(chain) not in seen:
                 seen.add(tuple(chain))

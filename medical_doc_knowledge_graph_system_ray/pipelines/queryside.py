@@ -306,19 +306,13 @@ def all_paths(out_dir: str, a: str, b: str, max_hops: int = 4,
     ]
 
 
-def find_paths_from_seeds(out_dir: str, seed_keys: list[str], target_key: str,
-                          max_hops: int = 5, limit: int = 5) -> list[dict]:
-    """Q5: shortest path seed -[*..5]- target per seed, ORDER BY hops
-    LIMIT 5 (path_reasoning.py:51-59 SEED_TO_NAMED_QUERY). One subgraph
-    collection serves every seed."""
-    seeds = sorted(set(seed_keys) - {target_key})
-    if not seeds:
-        return []
-    edges = _collect_subgraph_edges(out_dir, seeds, max_hops)
-    adj = _adjacency(edges)
+def _seed_paths_over_adjacency(adj, seeds: list[str], target_key: str,
+                               max_hops: int, limit: int) -> list[dict]:
+    """Per-seed BFS with parent tracking over a pre-collected subgraph."""
     out = []
     for seed in seeds:
-        # local BFS with parent tracking over the pruned subgraph
+        if seed == target_key:
+            continue
         parents: dict[str, tuple | None] = {seed: None}
         frontier = [seed]
         depth = 0
@@ -346,6 +340,30 @@ def find_paths_from_seeds(out_dir: str, seed_keys: list[str], target_key: str,
         })
     out.sort(key=lambda r: (r["hops"], r["seed_name"]))
     return out[:limit]
+
+
+def find_paths_from_seeds_multi(out_dir: str, seed_keys: list[str],
+                                targets: list[str], max_hops: int = 5,
+                                limit: int = 5) -> dict[str, list[dict]]:
+    """Seeds->target shortest paths for SEVERAL targets over ONE subgraph
+    collection (the context builder queries <=5 targets per question —
+    re-collecting the 5-hop neighborhood per target cost ~5x)."""
+    seeds = sorted(set(seed_keys))
+    if not seeds or not targets:
+        return {t: [] for t in targets}
+    edges = _collect_subgraph_edges(out_dir, seeds, max_hops)
+    adj = _adjacency(edges)
+    return {t: _seed_paths_over_adjacency(adj, seeds, t, max_hops, limit)
+            for t in targets}
+
+
+def find_paths_from_seeds(out_dir: str, seed_keys: list[str], target_key: str,
+                          max_hops: int = 5, limit: int = 5) -> list[dict]:
+    """Q5: shortest path seed -[*..5]- target per seed, ORDER BY hops
+    LIMIT 5 (path_reasoning.py:51-59 SEED_TO_NAMED_QUERY). One subgraph
+    collection serves every seed."""
+    return find_paths_from_seeds_multi(out_dir, seed_keys, [target_key],
+                                       max_hops, limit)[target_key]
 
 
 def relationship_constrained_paths(out_dir: str, seed_keys: list[str],
