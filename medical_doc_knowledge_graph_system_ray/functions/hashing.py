@@ -61,7 +61,11 @@ class MinHasher:
 
     def band_keys(self, shingles: list[str], bands: int) -> list[str]:
         """LSH band keys: names sharing any band key become candidate pairs."""
-        sig = self.signature(shingles)
+        return self.band_keys_from_signature(self.signature(shingles), bands)
+
+    def band_keys_from_signature(self, sig, bands: int) -> list[str]:
+        """Band keys from an already-computed signature (lets callers that
+        also need the full signature hash it without minhashing twice)."""
         rows = max(self.num_perms // bands, 1)
         keys = []
         for bi in range(bands):

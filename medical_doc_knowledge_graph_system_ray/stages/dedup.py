@@ -85,11 +85,13 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
 
 
 class MinHashBander:
-    """map_batches actor: doc -> (band_key, doc_id) rows for LSH grouping.
+    """map_batches actor: doc -> (band_key, doc_id, sig64) rows for LSH
+    grouping, where sig64 is an 8-byte hash of the FULL minhash signature.
 
     Payload-free: the document text NEVER enters the band shuffle (at
     16 bands a text copy per band would multiply the shuffle volume 16x
-    over the corpus size)."""
+    over the corpus size); sig64 rides along so hot buckets can compress
+    identical-signature members into stars instead of cliques."""
 
     def __init__(self, num_perms: int = 64, bands: int = 16, shingle_n: int = 3):
         self.hasher = MinHasher(num_perms, seed=11)
@@ -99,22 +101,54 @@ class MinHashBander:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
-        out_key, out_id = [], []
+        out_key, out_id, out_sig = [], [], []
         for i, t in zip(ids, texts):
-            for key in self.hasher.band_keys(word_shingles(t, self.shingle_n), self.bands):
+            sig = self.hasher.signature(word_shingles(t, self.shingle_n))
+            s64 = stable_hash64("\x1f".join(map(str, sig))) - (1 << 63)
+            for key in self.hasher.band_keys_from_signature(sig, self.bands):
                 out_key.append(key)
                 out_id.append(i)
+                out_sig.append(s64)
         return pa.table({"band_key": pa.array(out_key, type=pa.string()),
-                         "doc_id": pa.array(out_id)})
+                         "doc_id": pa.array(out_id),
+                         "sig64": pa.array(out_sig, type=pa.int64())})
+
+
+# all-pairs expansion cap across DISTINCT signatures in one bucket —
+# beyond this a bucket is pathologically hot; the star edges still
+# connect every identical-signature member, so exact/near-exact dup
+# clusters are unaffected by the cap (documented truncation)
+_MAX_DISTINCT_SIGS = 512
 
 
 def _candidate_pairs_in_group(group: pa.Table) -> pa.Table:
-    """All distinct id pairs sharing a band bucket (ids only)."""
-    ids = sorted(set(group.column("doc_id").to_pylist()))
+    """Candidate id pairs for one band bucket, hot-bucket safe:
+
+    * members sharing the SAME full-signature hash connect as a star to
+      their min id (estimated Jaccard 1.0 at every permutation) — linear,
+      so a bucket of N identical documents emits N-1 edges, not N^2/2;
+    * across distinct signatures, all representative pairs (capped at
+      _MAX_DISTINCT_SIGS representatives).
+    Every emitted pair is still exact-verified downstream."""
+    by_sig: dict[int, list[int]] = {}
+    for i, s in zip(group.column("doc_id").to_pylist(),
+                    group.column("sig64").to_pylist()):
+        by_sig.setdefault(s, []).append(i)
     rows = []
-    for x in range(len(ids)):
-        for y in range(x + 1, len(ids)):
-            rows.append({"a": ids[x], "b": ids[y]})
+    reps = []
+    for s in sorted(by_sig):
+        members = sorted(set(by_sig[s]))
+        rep = members[0]
+        reps.append(rep)
+        for m in members[1:]:
+            rows.append({"a": rep, "b": m})
+    reps = reps[:_MAX_DISTINCT_SIGS]
+    for x in range(len(reps)):
+        for y in range(x + 1, len(reps)):
+            a, b = reps[x], reps[y]
+            if a > b:
+                a, b = b, a
+            rows.append({"a": a, "b": b})
     return pa.Table.from_pylist(rows, schema=pa.schema([("a", pa.int64()),
                                                         ("b", pa.int64())]))
 

@@ -30,7 +30,35 @@ def test_minhash_bander_payload_free():
     from medical_doc_knowledge_graph_system_ray.stages.dedup import MinHashBander
 
     out = MinHashBander(num_perms=16, bands=4)(DOCS)
-    assert set(out.column_names) == {"band_key", "doc_id"}
+    # band_key + id + 8-byte signature hash ONLY — never the text
+    assert set(out.column_names) == {"band_key", "doc_id", "sig64"}
+    assert out.schema.field("sig64").type == "int64"
+
+
+def test_minhash_hot_bucket_star_compression(ray_session):
+    """A bucket of N identical documents must emit O(N) candidate edges
+    (signature star), not the N^2/2 clique — and still cluster to min id."""
+    import time
+
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import (
+        _candidate_pairs_in_group, MinHashBander, minhash_lsh_dedup)
+
+    n = 3000
+    docs = pa.table({
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": ["the exact same document text for every row here"] * n,
+    })
+    # direct group check: one band bucket of identical sigs -> n-1 edges
+    band = MinHashBander(num_perms=16, bands=1)(docs)
+    pairs = _candidate_pairs_in_group(band)
+    assert pairs.num_rows == n - 1
+
+    t0 = time.time()
+    out = minhash_lsh_dedup(rd.from_arrow(docs), jaccard_threshold=0.8).to_pandas()
+    assert (out["dup_group"] == 0).all()
+    assert time.time() - t0 < 120  # clique expansion would blow past this
 
 
 def test_sign_band_fn_payload_free():
