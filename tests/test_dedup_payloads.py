@@ -70,7 +70,8 @@ def test_sign_band_fn_payload_free():
                               type=pa.list_(pa.float32())),
     })
     out = make_sign_band_fn(bands=4)(vecs)
-    assert set(out.column_names) == {"band_key", "vec_id"}
+    # band_key + id + 8-byte sketch ONLY — never the vector
+    assert set(out.column_names) == {"band_key", "vec_id", "sketch64"}
 
 
 def test_exact_dedup_min_id_per_text(ray_session):
