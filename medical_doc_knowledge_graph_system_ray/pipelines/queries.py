@@ -442,6 +442,26 @@ def q_events_asof_signup(sf_dir: str):
     return out.sort_values("event_id").reset_index(drop=True)
 
 
+def q_events_sliding_3h(sf_dir: str):
+    """Sliding 3-hour event-time window over hourly totals (§2.7)."""
+    from ..stages.windows import sliding_hourly_totals
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    return sliding_hourly_totals(ds, window_hours=3)
+
+
+def q_top_users_per_event_type(sf_dir: str):
+    """Grouped top-k: top 3 users by total value per event type."""
+    from ..stages.windows import grouped_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id", "value"])
+    out = grouped_topk(ds, "event_type", "user_id", "value", k=3).to_pandas()
+    out["rk"] = out["rk"].astype("int64")
+    return out.sort_values(["event_type", "rk"]).reset_index(drop=True)
+
+
 def q_error_or_signup_users(sf_dir: str):
     """Set op: union of two filtered event streams, distinct user ids
     (ds.union + unique — SURVEY.md §2.7)."""
@@ -714,6 +734,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "event_sessions": q_event_sessions,
     "events_asof_signup": q_events_asof_signup,
+    "events_sliding_3h": q_events_sliding_3h,
+    "top_users_per_event_type": q_top_users_per_event_type,
     "error_or_signup_users": q_error_or_signup_users,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -762,6 +784,23 @@ ORACLE_SQL = {
         "SELECT user_id, session_idx, min(ts) AS session_start, "
         "count(*) AS n_events, round(sum(value), 4) AS total_value "
         "FROM sess GROUP BY user_id, session_idx ORDER BY user_id, session_idx"
+    ),
+    "events_sliding_3h": (
+        "WITH hourly AS (SELECT date_trunc('hour', ts) AS hour, "
+        "round(sum(value), 4) AS total, count(*) AS n FROM events GROUP BY 1) "
+        "SELECT hour, round(sum(total) OVER (ORDER BY hour RANGE BETWEEN "
+        "INTERVAL 2 HOUR PRECEDING AND CURRENT ROW), 4) AS total_3h, "
+        "CAST(sum(n) OVER (ORDER BY hour RANGE BETWEEN INTERVAL 2 HOUR "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h "
+        "FROM hourly ORDER BY hour"
+    ),
+    "top_users_per_event_type": (
+        "WITH agg AS (SELECT event_type, user_id, round(sum(value), 4) AS total "
+        "FROM events GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type "
+        "ORDER BY total DESC, user_id) AS rk FROM agg) "
+        "SELECT event_type, user_id, total, CAST(rk AS BIGINT) AS rk FROM r "
+        "WHERE rk <= 3 ORDER BY event_type, rk"
     ),
     "error_or_signup_users": (
         "SELECT user_id FROM events WHERE event_type = 'error' "

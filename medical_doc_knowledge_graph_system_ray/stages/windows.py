@@ -68,3 +68,62 @@ def asof_join_per_user(ds, right_type: str = "signup", left_type: str = "error")
         return merged[["event_id", "user_id", "ts", "asof_event_id", "asof_ts"]]
 
     return ds.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def sliding_hourly_totals(ds, window_hours: int = 3):
+    """Sliding event-time window over the hourly tumbling aggregate:
+    per hour, the sum of (value, count) over [hour-(w-1)h, hour].
+
+    Two-level shape for scale: the distributed combiner-first tumbling
+    aggregate reduces the stream to O(distinct hours) rows; the sliding
+    roll-up then runs over that small series on the driver (documented
+    small side — a century of hours is <10^6 rows). Hour gaps are
+    respected (RANGE semantics: only hours inside the time window sum).
+    Returns a pandas DataFrame (hour, total_3h, n_3h ordered by hour)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .aggregates import preagg_sum_count
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
+            "value": batch.column("value"),
+        })
+
+    hourly = preagg_sum_count(
+        ds.map_batches(add_hour, batch_format="pyarrow"),
+        ["hour"], ["value"], "n",
+    ).to_pandas().rename(columns={"value": "total"}).sort_values("hour")
+    hourly["total"] = hourly["total"].round(4)
+    totals = dict(zip(hourly["hour"], hourly["total"]))
+    counts = dict(zip(hourly["hour"], hourly["n"]))
+    out_total, out_n = [], []
+    for h in hourly["hour"]:
+        window = [h - pd.Timedelta(hours=k) for k in range(window_hours)]
+        out_total.append(round(sum(totals.get(w, 0.0) for w in window), 4))
+        out_n.append(int(sum(counts.get(w, 0) for w in window)))
+    return pd.DataFrame({"hour": hourly["hour"].values,
+                         f"total_{window_hours}h": out_total,
+                         f"n_{window_hours}h": out_n}).reset_index(drop=True)
+
+
+def grouped_topk(ds, group_col: str, key_col: str, value_col: str, k: int = 3):
+    """Top-k keys by summed value per group: distributed combiner-first
+    (group, key) aggregate, then a per-group sort-head with rank
+    (groupby().map_groups — each group's reduced rows are small)."""
+    import pyarrow as pa
+
+    from .aggregates import preagg_sum_count
+
+    agg = preagg_sum_count(ds, [group_col, key_col], [value_col], "__n")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["total"] = g[value_col].round(4)
+        g = g.sort_values(["total", key_col], ascending=[False, True],
+                          kind="stable").head(k)
+        g["rk"] = range(1, len(g) + 1)
+        return g[[group_col, key_col, "total", "rk"]]
+
+    return agg.groupby(group_col).map_groups(topk, batch_format="pandas")
