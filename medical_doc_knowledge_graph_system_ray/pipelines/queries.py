@@ -346,6 +346,16 @@ def q_doc_token_counts(sf_dir: str):
     return ds.select_columns(["doc_id", "n_tokens"]).to_pandas()
 
 
+def q_doc_piece_counts(sf_dir: str):
+    """BPE-ish subword piece count (letters / digit-runs / punct marks)."""
+    from ..stages.text_analysis import token_count_batch
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_count_batch, batch_format="pyarrow"
+    )
+    return ds.select_columns(["doc_id", "n_pieces"]).to_pandas()
+
+
 def q_lang_counts(sf_dir: str):
     out = (
         _docs(sf_dir, ["lang"])
@@ -727,6 +737,7 @@ QUERIES = {
     "kg_evaluation": q_kg_evaluation,
     # testdata operators
     "doc_token_counts": q_doc_token_counts,
+    "doc_piece_counts": q_doc_piece_counts,
     "lang_counts": q_lang_counts,
     "exact_dedup_docs": q_exact_dedup_docs,
     "doc_char_stats": q_doc_char_stats,
@@ -756,6 +767,10 @@ ORACLE_SQL = {
     "doc_token_counts": (
         "SELECT doc_id, CAST(array_length(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS BIGINT)"
         " AS n_tokens FROM documents"
+    ),
+    "doc_piece_counts": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]')) AS BIGINT) AS n_pieces FROM documents"
     ),
     "lang_counts": "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY lang",
     "exact_dedup_docs": (

@@ -60,7 +60,8 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("text")
     ws = pc.list_value_length(
         pc.split_pattern_regex(pc.utf8_trim_whitespace(texts), r"\s+"))
-    piece_re = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+    # ASCII classes so \d/\s match DuckDB's RE2 on non-ASCII text
+    piece_re = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]", re.ASCII)
     pieces = pa.array([len(piece_re.findall(t)) for t in texts.to_pylist()],
                       type=pa.int64())
     return batch.append_column("n_tokens", ws.cast(pa.int64())).append_column(
