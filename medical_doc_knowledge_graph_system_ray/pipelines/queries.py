@@ -893,11 +893,16 @@ ORACLE_SQL = {
         "ORDER BY a, b"
     ),
     "embedding_neardup": (
-        "SELECT a.vec_id AS a, b.vec_id AS b, "
-        "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine "
-        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-        "WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.45 "
-        "ORDER BY a, b"
+        # embeddings are stored FLOAT[]; cast to DOUBLE[] so DuckDB's cosine
+        # runs in float64 like the numpy side, and round to 5 decimals so
+        # last-ulp summation-order noise can't flip the final digit
+        # (CORRECTNESS r2: float32 list_cosine_similarity flipped the 6th
+        # decimal on pair (53,300))
+        "WITH p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
+        "round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), 5) AS cosine "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id) "
+        "SELECT a, b, cosine FROM p WHERE cosine >= 0.45 ORDER BY a, b"
     ),
     "lineitem_pricing_summary": (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 3) AS sum_qty, "

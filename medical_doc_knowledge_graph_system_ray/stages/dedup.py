@@ -27,6 +27,7 @@ import pyarrow.compute as pc
 
 from ..functions.hashing import MinHasher, hamming64, simhash64, stable_hash64
 from ..functions.unionfind import UnionFind
+from .text_analysis import round_half_away
 
 # ── exact dedup ────────────────────────────────────────────────────────
 
@@ -295,7 +296,11 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, shingle_n: int = 3,
                 if a > b:
                     a, b = b, a
                 ua = sa[i] | sb[j]
-                jac = round(len(sa[i] & sb[j]) / max(len(ua), 1), 6) if ua else 1.0
+                # half-away rounding: |A∩B|/|A∪B| lands on exact 5e-7 ties
+                # whenever |A∪B| divides 2e6 (e.g. 1/128) — Python's
+                # half-even round() would diverge from the DuckDB oracle
+                jac = (float(round_half_away(len(sa[i] & sb[j]) / max(len(ua), 1), 6))
+                       if ua else 1.0)
                 if jac >= threshold:
                     rows.append({"a": a, "b": b, "jaccard": jac})
         return pa.Table.from_pylist(rows, schema=_JACCARD_SCHEMA)
@@ -396,8 +401,9 @@ def embedding_neardup_exact(ds, threshold: float = 0.45,
     Each block normalizes once; every block pair is one numpy matmul
     task. Quadratic in block count — the exact variant by definition;
     embedding_neardup_lsh is the subquadratic scale path. Returns a Ray
-    Dataset of (a, b, cosine) with a < b; cosine rounded to 6 so the
-    threshold compare matches round(list_cosine_similarity(...), 6).
+    Dataset of (a, b, cosine) with a < b; cosine rounded to 5 decimals
+    (both the numpy side and the DOUBLE[]-cast DuckDB oracle round at 5
+    so last-ulp summation-order noise cannot flip the final digit).
     """
     import numpy as np
     import ray
@@ -422,7 +428,7 @@ def embedding_neardup_exact(ds, threshold: float = 0.45,
         ids_b, mb = blk_b
         if not len(ids_a) or not len(ids_b):
             return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
-        sims = np.round(ma @ mb.T, 6)
+        sims = round_half_away(ma @ mb.T, 5)  # half-away: matches DuckDB round()
         ii, jj = np.nonzero(sims >= threshold)
         rows = []
         for i, j in zip(ii.tolist(), jj.tolist()):
@@ -542,7 +548,7 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 8,
     def cos(va, vb):
         if va is None or vb is None:
             return None
-        c = round(float(va @ vb), 6)
+        c = float(round_half_away(va @ vb, 5))  # same 5-decimal contract as exact
         return c if c >= threshold else None
 
     edges = _verify_pairs_distributed(pairs, norm_vecs, cos)

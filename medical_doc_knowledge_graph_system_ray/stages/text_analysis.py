@@ -29,6 +29,22 @@ _LANG_PROFILES = {
 _WORD_RE = re.compile(r"[A-Za-z]+")
 
 
+def round_half_away(x, decimals: int = 6):
+    """Round-half-AWAY-from-zero (DuckDB / std::round semantics).
+
+    numpy's np.round is round-half-to-EVEN, which diverges from DuckDB's
+    round() whenever a value lands on an exact 5e-(d+1) tie — the
+    CORRECTNESS r2 quality_scores hash failure (4/500 docs off on the
+    6th decimal). The fractional part of |x|*10^d is exact in IEEE for
+    |x|*10^d < 2^52, so the half test below is bit-faithful."""
+    x = np.asarray(x, dtype=np.float64)
+    p = 10.0 ** decimals
+    y = np.abs(x) * p
+    f = y - np.floor(y)
+    r = np.where(f >= 0.5, np.floor(y) + 1.0, np.floor(y)) / p
+    return np.where(x < 0, -r, r)
+
+
 class LangId:
     """Stopword-profile language guesser (n-gram heuristic stand-in)."""
 
@@ -70,10 +86,19 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
 
 
 def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
-    """Length / punctuation / stopword-ratio quality features + blended score."""
+    """Length / punctuation / stopword-ratio quality features + blended score.
+
+    Tokenization mirrors the DuckDB oracle exactly: regex-split the
+    TRIMMED text on \\s+ (so a whitespace-only doc yields the single
+    empty token the oracle's string_split_regex('') produces), and every
+    rounded column uses round-half-away (DuckDB round), not numpy's
+    half-even."""
     texts = batch["text"]
     n_chars = texts.str.len().astype("int64")
-    tokens = texts.str.split()
+    # ASCII \s on both trim and split: DuckDB's RE2 \s is ASCII-only, so a
+    # Unicode-aware strip()/split() would diverge on NBSP-style whitespace
+    tokens = texts.str.replace(re.compile(r"^\s+|\s+$", re.ASCII), "",
+                               regex=True).str.split(re.compile(r"\s+", re.ASCII))
     n_tokens = tokens.str.len().fillna(0).astype("int64")
     mean_tok_len = (texts.str.replace(r"\s+", "", regex=True).str.len() /
                     n_tokens.clip(lower=1))
@@ -92,10 +117,10 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     out = batch.copy()
     out["n_chars_q"] = n_chars
     out["n_tokens"] = n_tokens
-    out["mean_token_len"] = mean_tok_len.round(6)
-    out["punct_ratio"] = punct_ratio.round(6)
-    out["stopword_ratio"] = stop_ratio.astype(float).round(6)
-    out["quality_score"] = np.round(score.astype(float), 6)
+    out["mean_token_len"] = round_half_away(mean_tok_len, 6)
+    out["punct_ratio"] = round_half_away(punct_ratio, 6)
+    out["stopword_ratio"] = round_half_away(stop_ratio.astype(float), 6)
+    out["quality_score"] = round_half_away(score.astype(float), 6)
     return out
 
 

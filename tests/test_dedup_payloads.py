@@ -118,9 +118,13 @@ def test_embedding_neardup_exact_matches_bruteforce(ray_session):
                                           type=pa.list_(pa.float32()))})
     ds = rd.from_arrow(tbl)
 
+    from medical_doc_knowledge_graph_system_ray.stages.text_analysis import (
+        round_half_away,
+    )
+
     m64 = np.asarray(m, dtype=np.float64)
     n = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
-    sims = np.round(n @ n.T, 6)
+    sims = round_half_away(n @ n.T, 5)  # the operator's 5-decimal contract
     tau = 0.8
     want = sorted((a, b) for a in range(40) for b in range(a + 1, 40)
                   if sims[a, b] >= tau)

