@@ -247,7 +247,13 @@ class IngestPipeline:
         doc_stale = False
         for unit in ("chunks", "spans"):
             rec = self.manifest.read(unit)
-            if rec is None or "lineage" not in rec:
+            if rec is None:
+                continue
+            if "lineage" not in rec:
+                # pre-lineage manifest (ADVICE r2): without a recorded input
+                # we cannot prove the cached table matches the current docs
+                # path — treat as stale rather than silently reusing it
+                doc_stale = True
                 continue
             lin = rec["lineage"]
             if lin.get("input") != self.docs_path or lin.get("files") != files:

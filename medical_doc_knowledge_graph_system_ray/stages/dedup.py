@@ -22,8 +22,12 @@ band-stage schemas stay payload-free.
 
 from __future__ import annotations
 
+import logging
+
 import pyarrow as pa
 import pyarrow.compute as pc
+
+logger = logging.getLogger(__name__)
 
 from ..functions.hashing import MinHasher, hamming64, simhash64, stable_hash64
 from ..functions.unionfind import UnionFind
@@ -143,6 +147,10 @@ def _candidate_pairs_in_group(group: pa.Table) -> pa.Table:
         reps.append(rep)
         for m in members[1:]:
             rows.append({"a": rep, "b": m})
+    if len(reps) > _MAX_DISTINCT_SIGS:
+        logger.warning("minhash band bucket truncated: %d distinct signatures "
+                       "> cap %d (cross-signature candidates dropped)",
+                       len(reps), _MAX_DISTINCT_SIGS)
     reps = reps[:_MAX_DISTINCT_SIGS]
     for x in range(len(reps)):
         for y in range(x + 1, len(reps)):
@@ -330,10 +338,15 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4):
     (a pair within hamming<=3 shares >=1 of 4 bands by pigeonhole).
     Only the 8-byte simhash rides the shuffle alongside the band key.
 
-    Hot-bucket safe: identical-simhash members emit a min-id star
-    (hamming 0), cross-value comparison runs per distinct value — the
-    candidate set's transitive closure is unchanged (hamming is a
-    function of the values), but direct same-value pairs compress."""
+    OUTPUT CONTRACT (driver/public): the pair set is CLOSURE-equivalent,
+    not pair-equivalent, to naive all-pairs banding. Identical-simhash
+    members emit a min-id star (hamming 0) instead of a clique, and the
+    hamming comparison runs once per distinct value via its min-id
+    representative — so a consumer taking the transitive closure (dedup
+    clustering) sees identical components, but a consumer filtering RAW
+    pairs by hamming gets rep-rep edges rather than every member pair.
+    Buckets with more than _MAX_DISTINCT_SIGS distinct values truncate
+    cross-value comparison (logged when it happens)."""
 
     def band_rows(batch: pa.Table) -> pa.Table:
         batch = add_simhash(batch)
@@ -364,6 +377,10 @@ def simhash_candidates(ds, max_hamming: int = 3, bands: int = 4):
             for m in members[1:]:
                 a, b = (rep, m) if rep < m else (m, rep)
                 rows.append({"a": a, "b": b, "hamming": 0})
+        if len(vals) > _MAX_DISTINCT_SIGS:
+            logger.warning("simhash band bucket truncated: %d distinct values "
+                           "> cap %d (cross-value candidates dropped)",
+                           len(vals), _MAX_DISTINCT_SIGS)
         reps = [sorted(set(by_val[s]))[0] for s in vals][:_MAX_DISTINCT_SIGS]
         rep_vals = vals[:_MAX_DISTINCT_SIGS]
         for x in range(len(reps)):
@@ -452,12 +469,18 @@ def embedding_neardup_exact(ds, threshold: float = 0.45,
     return rd.from_arrow_refs(futs)
 
 
-def make_sign_band_fn(bands: int = 8, id_col: str = "vec_id",
+def make_sign_band_fn(bands: int = 16, id_col: str = "vec_id",
                       emb_col: str = "embedding"):
     """Sign-bit LSH band stage factory. Emits (band_key, id, sketch64)
     ONLY — never the vector (the payload-free contract tests assert
     this schema); sketch64 is the full 64-bit sign sketch so hot buckets
-    can star-compress identical-sketch members."""
+    can star-compress identical-sketch members.
+
+    Band-width tuning (ADVICE r2): a pair at cosine tau collides in one
+    band with prob (1 - acos(tau)/pi)^(64/bands). At tau=0.45 the old
+    8 bands x 8 bits gave ~22% recall; 16 bands x 4 bits gives ~95%.
+    Low thresholds inherently need many narrow bands (bigger buckets) —
+    the star compression + _MAX_DISTINCT_SIGS cap bound the bucket cost."""
     import numpy as np
 
     rng = np.random.RandomState(23)
@@ -489,13 +512,15 @@ def make_sign_band_fn(bands: int = 8, id_col: str = "vec_id",
     return band_rows
 
 
-def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 8,
+def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 16,
                           id_col: str = "vec_id", emb_col: str = "embedding"):
     """Scale path: sign-bit LSH bucketing -> candidate id pairs -> keyed
     vector gather -> exact cosine verification. The band shuffle carries
-    (band_key, vec_id) ONLY — vectors never ride the shuffle (x8 band
-    duplication of a 384-d float32 vector would be a 12 KB/row exchange).
-    Approximate: recall < 1 vs the exact variant by LSH design."""
+    (band_key, vec_id) ONLY — vectors never ride the shuffle (per-band
+    duplication of a 384-d float32 vector would be a KB/row exchange).
+    Approximate: recall < 1 vs the exact variant by LSH design; the
+    default 16 bands x 4 bits targets ~95% recall at the 0.45 default
+    threshold (see make_sign_band_fn; tests assert a recall floor)."""
     import numpy as np
     import ray
     import ray.data as rd
@@ -520,6 +545,10 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 8,
             reps.append(rep)
             for m in members[1:]:
                 rows.append({"a": rep, "b": m})
+        if len(reps) > _MAX_DISTINCT_SIGS:
+            logger.warning("sign-LSH band bucket truncated: %d distinct "
+                           "sketches > cap %d (cross-sketch candidates "
+                           "dropped)", len(reps), _MAX_DISTINCT_SIGS)
         reps = reps[:_MAX_DISTINCT_SIGS]
         for x in range(len(reps)):
             for y in range(x + 1, len(reps)):
@@ -558,6 +587,13 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 8,
     return rd.from_arrow(out)
 
 
-# Back-compat alias: the oracled default is the exact variant.
-def embedding_neardup_pairs(ds, threshold: float = 0.45, bands: int = 8):
+def embedding_neardup_pairs(ds, threshold: float = 0.95, bands=None):
+    """Deprecated back-compat alias with its ORIGINAL 0.95 default
+    (ADVICE r2: the alias had silently drifted to 0.45 and swallowed
+    `bands`). It routes to the exact path only; callers wanting LSH
+    bucketing must call embedding_neardup_lsh(bands=...) explicitly."""
+    if bands is not None:
+        raise TypeError(
+            "embedding_neardup_pairs never bucketed; use "
+            "embedding_neardup_lsh(bands=...) for the LSH scale path")
     return embedding_neardup_exact(ds, threshold=threshold)

@@ -141,6 +141,37 @@ def test_embedding_neardup_exact_matches_bruteforce(ray_session):
     assert (11, 31) in lsh_pairs
 
 
+def test_embedding_lsh_recall_floor(ray_session):
+    """Quantitative recall floor vs the exact path at the shipped default
+    threshold 0.45 (ADVICE r2: 8x8 banding was ~14% recall — near-blind
+    at its own default). 16 bands x 4 bits targets ~95% expected recall
+    at the boundary; assert >= 0.8 on planted correlated pairs."""
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import (
+        embedding_neardup_exact, embedding_neardup_lsh)
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(60, 32).astype(np.float32)
+    # plant 20 correlated pairs spanning cosines ~0.45..0.95
+    rows = [base[i] for i in range(60)]
+    for k in range(20):
+        noise = 0.25 + 0.05 * k  # increasing noise -> decreasing cosine
+        rows.append(base[k] + noise * rng.randn(32).astype(np.float32))
+    tbl = pa.table({"vec_id": pa.array(list(range(len(rows))), type=pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in rows],
+                                          type=pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl)
+    exact = set(zip(*[embedding_neardup_exact(ds, threshold=0.45)
+                      .to_pandas()[c] for c in ("a", "b")]))
+    lsh = set(zip(*[embedding_neardup_lsh(ds, threshold=0.45)
+                    .to_pandas()[c] for c in ("a", "b")]))
+    assert len(exact) >= 15  # the planted pairs are actually above tau
+    assert lsh <= exact  # every LSH pair is exact-verified
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} < 0.8 ({len(lsh)}/{len(exact)})"
+
+
 @pytest.mark.parametrize("how", ["inner", "left", "outer"])
 def test_hash_join_matches_pandas(ray_session, how):
     import ray.data as rd

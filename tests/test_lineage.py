@@ -53,6 +53,41 @@ def test_input_change_invalidates_committed_output(ray_session, tiny_corpus, tmp
     assert pats1 < pats2
 
 
+def test_legacy_manifest_without_lineage_is_stale(ray_session, tiny_corpus, tmp_path):
+    """ADVICE r2: a chunks/spans record committed by a pre-lineage build
+    carries no 'lineage' key; resuming against it must recompute (treat
+    as stale), not silently reuse a table we can't tie to the input."""
+    import json
+
+    from medical_doc_knowledge_graph_system_ray.config import PipelineConfig
+
+    docs, _ = tiny_corpus
+    ddir = os.path.join(tmp_path, "docs")
+    out = os.path.join(tmp_path, "out")
+    os.makedirs(ddir)
+    pq.write_table(docs, os.path.join(ddir, "p0.parquet"))
+    cfg = PipelineConfig(num_shards=2, num_output_partitions=4,
+                         extract_concurrency=2)
+    pipe1 = _run(ddir, out, cfg)
+    n_chunks = pipe1.read_table("chunks").num_rows
+
+    # simulate a pre-upgrade manifest: strip lineage from the chunks record
+    mpath = os.path.join(out, "_manifest", "chunks.json")
+    with open(mpath) as f:
+        rec = json.load(f)
+    rec.pop("lineage")
+    with open(mpath, "w") as f:
+        json.dump(rec, f)
+
+    chunk_files = sorted(os.listdir(os.path.join(out, "chunks")))
+    mtimes = [os.path.getmtime(os.path.join(out, "chunks", f)) for f in chunk_files]
+    pipe2 = _run(ddir, out, cfg)
+    chunk_files2 = sorted(os.listdir(os.path.join(out, "chunks")))
+    mtimes2 = [os.path.getmtime(os.path.join(out, "chunks", f)) for f in chunk_files2]
+    assert pipe2.read_table("chunks").num_rows == n_chunks  # recomputed, same data
+    assert mtimes != mtimes2  # files were rebuilt, not reused
+
+
 def test_unchanged_input_resume_is_noop(ray_session, tiny_corpus, tmp_path):
     from medical_doc_knowledge_graph_system_ray.config import PipelineConfig
 
