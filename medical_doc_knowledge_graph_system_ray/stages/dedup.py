@@ -162,107 +162,197 @@ def _candidate_pairs_in_group(group: pa.Table) -> pa.Table:
                                                         ("b", pa.int64())]))
 
 
-def _gather_payloads(ds, ids: set, id_col: str, payload_col: str) -> dict:
-    """Keyed second pass: pruned filtered scan collecting payloads for the
-    candidate id set only (documented-small — the near-dup candidate set,
-    not the corpus). The id set broadcasts via the task closure."""
-    id_arr = pa.array(sorted(ids))
+def _relabel(mapping: dict):
+    """Zero-copy column relabel as a map_batches stage. Ray's
+    Dataset.rename_columns silently no-ops (with a warning) on dict
+    renames that reuse a name freed by the same call — the arrow-level
+    rename has no such restriction."""
+    def fn(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
-    def pick(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch.column(id_col), value_set=id_arr)
-        return batch.filter(mask).select([id_col, payload_col])
-
-    out = {}
-    for r in ds.map_batches(pick, batch_format="pyarrow").take_all():
-        out.setdefault(r[id_col], r[payload_col])
-    return out
+    return fn
 
 
-def _verify_pairs_distributed(pairs: list[tuple], payloads: dict, verify_fn):
-    """Fan pairwise verification out as Ray tasks; payloads broadcast once
-    via ray.put. verify_fn(pa, pb) -> float score or None (drop). Small
-    candidate sets verify on the driver — the fan-out's fixed cost only
-    amortizes beyond ~10k pairs."""
-    import ray
+def _distinct_pairs(cand_ds):
+    """Distinct (a, b) candidate pairs (the same pair surfaces from several
+    bands): a multi-key groupby shuffle of 16-byte rows — the cheapest
+    global dedup; no payloads anywhere near it."""
+    return cand_ds.groupby(["a", "b"]).count().drop_columns(["count()"])
 
-    if not pairs:
-        return []
-    if len(pairs) < 10_000:
-        out = []
-        for a, b in pairs:
-            s = verify_fn(payloads.get(a), payloads.get(b))
-            if s is not None:
-                out.append((a, b, s))
-        return out
-    payload_ref = ray.put(payloads)
 
-    @ray.remote
-    def verify(chunk: list[tuple]):
-        p = ray.get(payload_ref)
-        out = []
-        for a, b in chunk:
-            s = verify_fn(p.get(a), p.get(b))
-            if s is not None:
-                out.append((a, b, s))
-        return out
+def _verified_pairs_via_join(ds, cand_ds, id_col: str, payload_col: str,
+                             verify_batch_fn, num_buckets: int = 16):
+    """Keyed verification (VERDICT r2 #4): candidate pairs join their two
+    payloads through the in-repo partitioned hash_join — the payloads
+    move through the object store, bucketed by id, and the per-pair
+    verification runs inside the join output's map_batches. The DRIVER
+    never materializes a candidate payload (contract-tested).
 
-    step = max(2_000, len(pairs) // 64)
-    futs = [verify.remote(pairs[i : i + step]) for i in range(0, len(pairs), step)]
-    return [e for part in ray.get(futs) for e in part]
+    verify_batch_fn receives (a, b, __payload_a, __payload_b) batches and
+    returns (a, b, <score>) rows for pairs that pass."""
+    from .joins import hash_join
+
+    src = ds.map_batches(lambda t: t.select([id_col, payload_col]),
+                         batch_format="pyarrow")
+    j1 = hash_join(
+        cand_ds.map_batches(_relabel({"a": id_col}), batch_format="pyarrow"),
+        src, on=id_col, num_buckets=num_buckets)
+    j1 = j1.map_batches(_relabel({id_col: "a", payload_col: "__payload_a",
+                                  "b": id_col}), batch_format="pyarrow")
+    j2 = hash_join(j1, src, on=id_col, num_buckets=num_buckets)
+    j2 = j2.map_batches(_relabel({id_col: "b", payload_col: "__payload_b"}),
+                        batch_format="pyarrow")
+    return j2.map_batches(verify_batch_fn, batch_format="pyarrow")
+
+
+def _min_label_components(edges, num_buckets: int = 16, max_iters: int = 30):
+    """Distributed connected components over an (a, b) edge Dataset by
+    iterated min-label propagation: each round every node takes the min
+    label among itself and its neighbors (two keyed joins + a groupby
+    Min), converging in O(component diameter) rounds. Driver state is an
+    iteration counter only — the scale path for template-heavy corpora
+    where the verified edge set outgrows the driver union-find.
+
+    Returns a Dataset (node, label) with label = component min id."""
+    from ray.data.aggregate import Min
+
+    from .joins import hash_join
+
+    def nodes_of(t: pa.Table) -> pa.Table:
+        ids = pa.concat_arrays([t.column("a").combine_chunks(),
+                                t.column("b").combine_chunks()]).unique()
+        return pa.table({"node": ids, "label": ids})
+
+    edges = edges.materialize()
+    labels = (edges.map_batches(nodes_of, batch_format="pyarrow")
+              .groupby("node").aggregate(Min("label", alias_name="label"))
+              .materialize())
+    for _ in range(max_iters):
+        m1 = hash_join(edges.rename_columns({"a": "node"}), labels,
+                       on="node", num_buckets=num_buckets)
+        m1 = m1.map_batches(lambda t: pa.table({"node": t.column("b"),
+                                                "cand": t.column("label")}),
+                            batch_format="pyarrow")
+        m2 = hash_join(edges.rename_columns({"b": "node"}), labels,
+                       on="node", num_buckets=num_buckets)
+        m2 = m2.map_batches(lambda t: pa.table({"node": t.column("a"),
+                                                "cand": t.column("label")}),
+                            batch_format="pyarrow")
+        own = labels.map_batches(lambda t: pa.table({"node": t.column("node"),
+                                                     "cand": t.column("label")}),
+                                 batch_format="pyarrow")
+        new_labels = (m1.union(m2).union(own).groupby("node")
+                      .aggregate(Min("cand", alias_name="label")).materialize())
+        # labels only ever decrease; fixpoint = zero changed rows
+        chg = hash_join(new_labels,
+                        labels.rename_columns({"label": "__old"}),
+                        on="node", num_buckets=num_buckets)
+        n_changed = chg.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("label"),
+                                            t.column("__old"))),
+            batch_format="pyarrow").count()
+        labels = new_labels
+        if n_changed == 0:
+            break
+    else:
+        logger.warning("min-label propagation hit max_iters=%d before "
+                       "convergence", max_iters)
+    return labels
+
+
+# above this many verified edges the closure leaves the driver: label
+# propagation replaces the union-find (the edge set of a template-heavy
+# corpus grows with the corpus, the near-dup CLUSTER structure does not)
+_DRIVER_CLOSURE_MAX_EDGES = 100_000
 
 
 def minhash_lsh_dedup(ds, jaccard_threshold: float = 0.8,
-                      num_perms: int = 64, bands: int = 16, shingle_n: int = 3):
+                      num_perms: int = 64, bands: int = 16, shingle_n: int = 3,
+                      driver_closure_max_edges: int = _DRIVER_CLOSURE_MAX_EDGES):
     """Near-duplicate clusters via MinHash-LSH; returns (doc_id, dup_group)
     where dup_group = min doc_id of the verified-connected component.
 
-    Shuffle carries (band_key, doc_id) only. The candidate-pair edge set
-    and its gathered texts are tiny relative to the corpus (near-dup
-    candidates); components close on the driver (documented small-side
-    assumption; iterate label propagation instead if it grows).
+    Shuffle discipline (VERDICT r2 #4 fixed): the band shuffle carries
+    (band_key, doc_id, sig64) only; candidate pairs dedup via a keyed
+    groupby; verification joins each pair to its two texts through the
+    partitioned hash_join (payloads never reach the driver); components
+    close on the driver ONLY while the verified edge set is small
+    (<= driver_closure_max_edges of (a, b, score) triples — no payloads),
+    switching to distributed min-label propagation beyond that.
     """
     import ray
 
-    candidates = (
+    candidates = _distinct_pairs(
         ds.map_batches(MinHashBander, batch_format="pyarrow",
                        fn_constructor_kwargs={"num_perms": num_perms, "bands": bands,
                                               "shingle_n": shingle_n},
                        concurrency=(1, 4))
         .groupby("band_key")
         .map_groups(_candidate_pairs_in_group, batch_format="pyarrow")
-        .take_all()
-    )
-    pairs = sorted({(e["a"], e["b"]) for e in candidates})
-    cand_ids = {i for p in pairs for i in p}
-    texts = _gather_payloads(ds, cand_ids, "doc_id", "text") if cand_ids else {}
+    ).materialize()
+    if candidates.count() == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "dup_group", t.column("doc_id").cast(pa.int64())),
+            batch_format="pyarrow")
 
-    def jacc(ta, tb):
-        if ta is None or tb is None:
-            return None
-        j = ngram_jaccard(ta, tb, shingle_n)
-        return j if j >= jaccard_threshold else None
+    def verify(batch: pa.Table) -> pa.Table:
+        rows_a, rows_b, rows_j = [], [], []
+        for a, b, ta, tb in zip(batch.column("a").to_pylist(),
+                                batch.column("b").to_pylist(),
+                                batch.column("__payload_a").to_pylist(),
+                                batch.column("__payload_b").to_pylist()):
+            if ta is None or tb is None:
+                continue
+            j = ngram_jaccard(ta, tb, shingle_n)
+            if j >= jaccard_threshold:
+                rows_a.append(a)
+                rows_b.append(b)
+                rows_j.append(j)
+        return pa.table({"a": pa.array(rows_a, type=pa.int64()),
+                         "b": pa.array(rows_b, type=pa.int64()),
+                         "jaccard": pa.array(rows_j, type=pa.float64())})
 
-    edges = _verify_pairs_distributed(pairs, texts, jacc)
-    uf = UnionFind()
-    for a, b, _s in edges:
-        uf.union(str(a), str(b))
-    comp: dict[str, list[str]] = uf.components()
-    mapping: dict[int, int] = {}
-    for members in comp.values():
-        group_min = min(int(m) for m in members)
-        for m in members:
-            mapping[int(m)] = group_min
-    mapping_ref = ray.put(mapping)
+    edges = _verified_pairs_via_join(ds, candidates, "doc_id", "text",
+                                     verify).materialize()
+    n_edges = edges.count()
 
-    def assign(batch: pa.Table) -> pa.Table:
-        from .materialize import fetch_broadcast
+    if n_edges <= driver_closure_max_edges:
+        # small verified edge set: (a, b, score) id triples — payload-free
+        uf = UnionFind()
+        for e in edges.take_all():
+            uf.union(str(e["a"]), str(e["b"]))
+        mapping: dict[int, int] = {}
+        for members in uf.components().values():
+            group_min = min(int(m) for m in members)
+            for m in members:
+                mapping[int(m)] = group_min
+        mapping_ref = ray.put(mapping)
 
-        mp = fetch_broadcast(mapping_ref)
-        ids = batch.column("doc_id").to_pylist()
-        grp = [mp.get(i, i) for i in ids]
-        return batch.append_column("dup_group", pa.array(grp, type=pa.int64()))
+        def assign(batch: pa.Table) -> pa.Table:
+            from .materialize import fetch_broadcast
 
-    return ds.map_batches(assign, batch_format="pyarrow")
+            mp = fetch_broadcast(mapping_ref)
+            ids = batch.column("doc_id").to_pylist()
+            grp = [mp.get(i, i) for i in ids]
+            return batch.append_column("dup_group",
+                                       pa.array(grp, type=pa.int64()))
+
+        return ds.map_batches(assign, batch_format="pyarrow")
+
+    # scale path: distributed closure + keyed assignment join
+    from .joins import hash_join
+
+    labels = _min_label_components(edges)
+    joined = hash_join(ds, labels.rename_columns({"node": "doc_id",
+                                                  "label": "dup_group"}),
+                       on="doc_id", num_buckets=16, how="left")
+    return joined.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("dup_group"), "dup_group",
+            pc.coalesce(t.column("dup_group").cast(pa.int64()),
+                        t.column("doc_id").cast(pa.int64()))),
+        batch_format="pyarrow")
 
 
 _JACCARD_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64()),
@@ -559,32 +649,49 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 16,
         return pa.Table.from_pylist(rows, schema=pa.schema([("a", pa.int64()),
                                                             ("b", pa.int64())]))
 
-    candidates = (
+    candidates = _distinct_pairs(
         ds.map_batches(band_rows, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(cand_pairs, batch_format="pyarrow")
-        .take_all()
-    )
-    pairs = sorted({(e["a"], e["b"]) for e in candidates})
-    cand_ids = {i for p in pairs for i in p}
-    vecs = _gather_payloads(ds, cand_ids, id_col, emb_col) if cand_ids else {}
-    norm_vecs = {}
-    for k, v in vecs.items():
-        arr = np.asarray(list(v), dtype=np.float64)
-        n = np.linalg.norm(arr)
-        norm_vecs[k] = arr / n if n > 0 else arr
+    ).materialize()
+    if candidates.count() == 0:
+        return rd.from_arrow(pa.Table.from_pylist([], schema=_PAIR_SCHEMA))
 
-    def cos(va, vb):
-        if va is None or vb is None:
-            return None
-        c = float(round_half_away(va @ vb, 5))  # same 5-decimal contract as exact
-        return c if c >= threshold else None
+    def encode(t: pa.Table) -> pa.Table:
+        # acero joins reject list<float> payloads — carry the vector as a
+        # binary blob (float32 LE) through the keyed join instead
+        arr = t.column(emb_col).combine_chunks()
+        vals = np.asarray(arr.flatten(), dtype=np.float32)
+        if pa.types.is_fixed_size_list(arr.type):
+            offs = np.arange(len(arr) + 1, dtype=np.int64) * arr.type.list_size
+        else:
+            offs = np.asarray(arr.offsets, dtype=np.int64)
+        bins = [vals[offs[i]:offs[i + 1]].tobytes() for i in range(len(arr))]
+        return pa.table({id_col: t.column(id_col),
+                         emb_col: pa.array(bins, type=pa.binary())})
 
-    edges = _verify_pairs_distributed(pairs, norm_vecs, cos)
-    out = pa.Table.from_pylist(
-        [{"a": a, "b": b, "cosine": s} for a, b, s in sorted(edges)],
-        schema=_PAIR_SCHEMA)
-    return rd.from_arrow(out)
+    def verify(batch: pa.Table) -> pa.Table:
+        # vectorized: decode both payload columns -> matrices, row-normalize,
+        # row-wise dot (same 5-decimal half-away contract as the exact path)
+        if batch.num_rows == 0:
+            return pa.Table.from_pylist([], schema=_PAIR_SCHEMA)
+        ma = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in batch.column("__payload_a").to_pylist()]) \
+            .astype(np.float64)
+        mb = np.stack([np.frombuffer(x, dtype=np.float32)
+                       for x in batch.column("__payload_b").to_pylist()]) \
+            .astype(np.float64)
+        ma = ma / np.clip(np.linalg.norm(ma, axis=1, keepdims=True), 1e-9, None)
+        mb = mb / np.clip(np.linalg.norm(mb, axis=1, keepdims=True), 1e-9, None)
+        cos = round_half_away(np.einsum("ij,ij->i", ma, mb), 5)
+        keep = pa.array(cos >= threshold)
+        return pa.table({"a": batch.column("a").filter(keep),
+                         "b": batch.column("b").filter(keep),
+                         "cosine": pa.array(cos[cos >= threshold],
+                                            type=pa.float64())})
+
+    enc = ds.map_batches(encode, batch_format="pyarrow")
+    return _verified_pairs_via_join(enc, candidates, id_col, emb_col, verify)
 
 
 def embedding_neardup_pairs(ds, threshold: float = 0.95, bands=None):

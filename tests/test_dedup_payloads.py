@@ -103,6 +103,64 @@ def test_minhash_lsh_dedup_groups(ray_session):
     assert groups[4] == 4 and groups[5] == 5
 
 
+def test_lsh_dedup_driver_never_materializes_payloads(ray_session, monkeypatch):
+    """VERDICT r2 #4 contract: during minhash_lsh_dedup and
+    embedding_neardup_lsh, every driver-side materialization (take_all /
+    count-triggered collects) touches only payload-free datasets —
+    candidate ids, verified (a, b, score) edges, labels. Any dataset
+    carrying text / embedding / joined payload columns must stay in the
+    object store."""
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import (
+        embedding_neardup_lsh, minhash_lsh_dedup)
+
+    forbidden = {"text", "embedding", "__payload_a", "__payload_b"}
+    orig = rd.Dataset.take_all
+
+    def guarded(self, *args, **kwargs):
+        names = set(self.schema().names)
+        assert not (names & forbidden), \
+            f"driver take_all on payload-bearing dataset: {sorted(names)}"
+        return orig(self, *args, **kwargs)
+
+    monkeypatch.setattr(rd.Dataset, "take_all", guarded)
+
+    out = minhash_lsh_dedup(rd.from_arrow(DOCS), jaccard_threshold=0.5)
+    # edges/labels pipelines execute inside the operator; materialize the
+    # RESULT only after restoring (the caller may collect what it likes)
+    monkeypatch.setattr(rd.Dataset, "take_all", orig)
+    groups = dict(zip(*[out.to_pandas()[c] for c in ("doc_id", "dup_group")]))
+    assert groups[3] == 0 and groups[1] == 0 and groups[6] == 2
+
+    rng = np.random.RandomState(3)
+    m = rng.randn(30, 16).astype(np.float32)
+    m[7] = m[2]
+    tbl = pa.table({"vec_id": pa.array(list(range(30)), type=pa.int64()),
+                    "embedding": pa.array([r.tolist() for r in m],
+                                          type=pa.list_(pa.float32()))})
+    monkeypatch.setattr(rd.Dataset, "take_all", guarded)
+    lsh = embedding_neardup_lsh(rd.from_arrow(tbl), threshold=0.45)
+    monkeypatch.setattr(rd.Dataset, "take_all", orig)
+    assert (2, 7) in set(zip(*[lsh.to_pandas()[c] for c in ("a", "b")]))
+
+
+def test_minhash_distributed_closure_matches_driver(ray_session):
+    """Forcing the label-propagation path (driver_closure_max_edges=0)
+    yields the identical (doc_id, dup_group) assignment as the driver
+    union-find."""
+    import ray.data as rd
+
+    from medical_doc_knowledge_graph_system_ray.stages.dedup import minhash_lsh_dedup
+
+    base = minhash_lsh_dedup(rd.from_arrow(DOCS), jaccard_threshold=0.5) \
+        .to_pandas()[["doc_id", "dup_group"]].sort_values("doc_id")
+    dist = minhash_lsh_dedup(rd.from_arrow(DOCS), jaccard_threshold=0.5,
+                             driver_closure_max_edges=0) \
+        .to_pandas()[["doc_id", "dup_group"]].sort_values("doc_id")
+    assert base.values.tolist() == dist.values.tolist()
+
+
 def test_embedding_neardup_exact_matches_bruteforce(ray_session):
     import ray.data as rd
 
