@@ -490,28 +490,41 @@ class IngestPipeline:
                 "seconds": round(time.time() - t0, 3),
             })
 
-        entity_keys = self._collect_entity_keys()
-        if cfg.entity_filter_mode == "bloom":
-            from ..functions.bloom import BloomFilter
-
-            bf = BloomFilter(len(entity_keys), cfg.bloom_bits_per_key)
-            bf.add_many(entity_keys)
-            entity_keys_ref = ray.put(bf)
-        else:
-            entity_keys_ref = ray.put(entity_keys)
-
-        # Phase C — partition-preserving pass over the pre-reduced
-        # triples_raw (already bucketed by subj): dangling semi-join (J2)
-        # + final per-partition reduce, one task per partition, no exchange
+        # Phase C — dangling semi-join (J2) + final reduce into the triples
+        # table. Three modes (cfg.entity_filter_mode):
+        #   exact  — broadcast the full entity key set (bit-exact default);
+        #   bloom  — broadcast a Bloom filter (beyond ~10^7 entities);
+        #   bucketed — NO broadcast at all (beyond ~10^8 entities): subj
+        #     check is partition-local (triples_raw and entities share the
+        #     bucket hash), obj check via two object-store exchanges of the
+        #     survivors (materialize.bucketed_dangling_filter_write).
         if not self.manifest.is_committed("triples"):
             t0 = time.time()
-            FilterDangling = mat.make_dangling_filter_fn(entity_keys_ref)
-            rows = map_partitions_write(
-                os.path.join(self.out, "triples_raw"),
-                os.path.join(self.out, "triples"),
-                lambda t: mat.triple_finalize_partition(FilterDangling(t)),
-                ["subj", "pred", "obj"], schema=TRIPLES_SCHEMA,
-            )
+            if cfg.entity_filter_mode == "bucketed":
+                rows = mat.bucketed_dangling_filter_write(
+                    os.path.join(self.out, "triples_raw"),
+                    os.path.join(self.out, "entities"),
+                    os.path.join(self.out, "triples"),
+                    ["subj", "pred", "obj"], schema=TRIPLES_SCHEMA,
+                    finalize_fn=mat.triple_finalize_partition,
+                )
+            else:
+                entity_keys = self._collect_entity_keys()
+                if cfg.entity_filter_mode == "bloom":
+                    from ..functions.bloom import BloomFilter
+
+                    bf = BloomFilter(len(entity_keys), cfg.bloom_bits_per_key)
+                    bf.add_many(entity_keys)
+                    entity_keys_ref = ray.put(bf)
+                else:
+                    entity_keys_ref = ray.put(entity_keys)
+                FilterDangling = mat.make_dangling_filter_fn(entity_keys_ref)
+                rows = map_partitions_write(
+                    os.path.join(self.out, "triples_raw"),
+                    os.path.join(self.out, "triples"),
+                    lambda t: mat.triple_finalize_partition(FilterDangling(t)),
+                    ["subj", "pred", "obj"], schema=TRIPLES_SCHEMA,
+                )
             self.manifest.commit("triples", {
                 "stage": "triples", "partitions": rows,
                 "rows": sum(r["rows"] for r in rows),
