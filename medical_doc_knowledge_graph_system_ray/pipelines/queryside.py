@@ -32,7 +32,42 @@ from ..functions.embedder import make_embedder
 from ..schemas import CLINICAL_PREDICATES
 
 
+# Materialize-once cache for repeated query batches (the evaluation
+# harness runs 11 questions x 2 strategies = dozens of traversals over
+# the same tables). Opt-in via cached_tables(); each table is read and
+# materialized into the object store ONCE and every unfiltered _read
+# reuses the materialized blocks (column-pruned view). Predicate-
+# pushdown reads (filter_expr) keep the parquet path — row-group
+# pruning at the read beats a full cached scan. At scale the cache is
+# object-store-resident with spill, never driver memory.
+_DS_CACHE: dict[tuple[str, str], rd.Dataset] = {}
+
+
+class cached_tables:
+    """Context manager: materialize `tables` under `out_dir` once and
+    serve unfiltered _read()s from the cache for the duration."""
+
+    def __init__(self, out_dir: str, tables=("triples", "entities",
+                                             "mentions", "chunks")):
+        self.keys = [(out_dir, t) for t in tables]
+
+    def __enter__(self):
+        for out_dir, t in self.keys:
+            if (out_dir, t) not in _DS_CACHE:
+                _DS_CACHE[(out_dir, t)] = rd.read_parquet(
+                    os.path.join(out_dir, t)).materialize()
+        return self
+
+    def __exit__(self, *exc):
+        for k in self.keys:
+            _DS_CACHE.pop(k, None)
+        return False
+
+
 def _read(out_dir: str, table: str, columns=None, filter_expr=None) -> rd.Dataset:
+    cached = _DS_CACHE.get((out_dir, table))
+    if cached is not None and filter_expr is None:
+        return cached.select_columns(columns) if columns else cached
     return rd.read_parquet(os.path.join(out_dir, table), columns=columns,
                            filter=filter_expr)
 
@@ -81,30 +116,38 @@ def expand_k_hop(out_dir: str, seed_keys: list[str], hops: int = 2,
                                                   ("hops", pa.int32())]))
 
 
+def edges_among(out_dir: str, keys, limit: int = 10_000) -> list[dict]:
+    """Edges whose BOTH endpoints are in `keys` — the explore/Q7 edge
+    collection. One pruned triples scan, vectorized pc.is_in mask
+    (VERDICT r2 #9: no pandas isin), limit() before driver collection."""
+    keep_arr = pa.array(sorted(set(keys)))
+
+    def within(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_in(batch.column("subj"), value_set=keep_arr),
+                       pc.is_in(batch.column("obj"), value_set=keep_arr))
+        return batch.filter(mask)
+
+    edges = (
+        _read(out_dir, "triples",
+              columns=["subj", "pred", "obj", "confidence"])
+        .map_batches(within, batch_format="pyarrow")
+        .limit(limit)
+        .take_all()
+    )
+    edges.sort(key=lambda e: (e["subj"], e["pred"], e["obj"]))
+    return edges
+
+
 def explore(out_dir: str, key: str, hops: int = 2, limit: int = 100) -> dict:
     """/graph/explore analog (app/main.py:179-214): center node, the k-hop
     neighborhood nodes AND the edges among them."""
     nodes_t = expand_k_hop(out_dir, [key], hops=hops, limit=limit)
     nodes = {r["key"]: r["hops"] for r in nodes_t.to_pylist()}
-    keep = set(nodes) | {key}
-
-    def edges_within(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        df = df[df["subj"].isin(keep) & df["obj"].isin(keep)]
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    edges = (
-        _read(out_dir, "triples",
-              columns=["subj", "pred", "obj", "confidence"])
-        .map_batches(edges_within, batch_format="pyarrow")
-        .take_all()
-    )
-    edges.sort(key=lambda e: (e["subj"], e["pred"], e["obj"]))
     return {
         "center": key,
         "hops": hops,
         "nodes": [{"key": k, "hops": h} for k, h in sorted(nodes.items())],
-        "edges": edges,
+        "edges": edges_among(out_dir, set(nodes) | {key}),
     }
 
 
@@ -570,18 +613,16 @@ def entity_first_retrieval(out_dir: str, query: str, top_k: int = 5,
         os.path.join(out_dir, "chunks", first_file)).names
 
     class ScoreChunks:
+        """On-the-fly scorer: the model-load seam (A1) — embedder built
+        once per actor; the query vector must come from the SAME kernel
+        that produced any stored chunk column (cfg.chunk_embedder)."""
+
         def __init__(self):
-            # the query vector must come from the SAME kernel that produced
-            # the stored chunk column (cfg.chunk_embedder)
             self.emb = make_embedder(cfg.chunk_embedder, cfg.embedding_dim)
             self.q = self.emb.embed_batch([query])[0]
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            if has_embedding:
-                flat = batch.column("embedding").combine_chunks().flatten()
-                vecs = np.asarray(flat).reshape(batch.num_rows, -1)
-            else:
-                vecs = self.emb.embed_batch(batch.column("text").to_pylist())
+            vecs = self.emb.embed_batch(batch.column("text").to_pylist())
             scores = vecs @ self.q[: vecs.shape[1]]
             return pa.table({
                 "chunk_id": batch.column("chunk_id"),
@@ -591,9 +632,30 @@ def entity_first_retrieval(out_dir: str, query: str, top_k: int = 5,
 
     score_cols = ["chunk_id", "doc_id",
                   "embedding" if has_embedding else "text"]
+    # Stored-embedding path: scoring is a stateless matmul against the
+    # driver-computed query vector — plain tasks, no actor-pool startup
+    # (the eval harness calls this dozens of times). The on-the-fly path
+    # keeps the actor pool: it is the model-load seam (A1).
+    if has_embedding:
+        qvec = make_embedder(cfg.chunk_embedder,
+                             cfg.embedding_dim).embed_batch([query])[0]
+
+        def score_stored(batch: pa.Table, qvec=qvec) -> pa.Table:
+            flat = batch.column("embedding").combine_chunks().flatten()
+            vecs = np.asarray(flat).reshape(batch.num_rows, -1)
+            scores = vecs @ qvec[: vecs.shape[1]]
+            return pa.table({
+                "chunk_id": batch.column("chunk_id"),
+                "doc_id": batch.column("doc_id"),
+                "score": pa.array(np.round(scores.astype(np.float64), 6)),
+            })
+
+        score_fn, score_kwargs = score_stored, {}
+    else:
+        score_fn, score_kwargs = ScoreChunks, {"concurrency": (1, 4)}
     scored = (
         _read(out_dir, "chunks", columns=score_cols)
-        .map_batches(ScoreChunks, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(score_fn, batch_format="pyarrow", **score_kwargs)
         .map_batches(lambda t: t.filter(pc.greater_equal(t.column("score"), threshold)),
                      batch_format="pyarrow")
         .sort("score", descending=True)

@@ -186,7 +186,27 @@ def _mean_std(values: list[float]) -> tuple[float, float]:
 def run_evaluation(out_dir: str, cfg: PipelineConfig | None = None,
                    questions: list | None = None) -> dict:
     """E4: each question x {vector, graph}, per-question fault isolation
-    (zero-score record on failure), per-strategy aggregates."""
+    (zero-score record on failure), per-strategy aggregates. The KG
+    tables are materialized into the object store once for the whole
+    bank (queryside.cached_tables) — dozens of traversals reuse the
+    blocks instead of re-reading parquet per question."""
+    from .queryside import cached_tables
+
+    with cached_tables(out_dir):
+        records = _run_evaluation_records(out_dir, cfg, questions)
+    aggregates = {}
+    for strategy in ("vector", "graph"):
+        sub = [r for r in records if r["strategy"] == strategy]
+        agg = {}
+        for metric in sub[0]["scores"]:
+            mean, std = _mean_std([r["scores"][metric] for r in sub])
+            agg[metric] = {"mean": mean, "std_dev": std}
+        aggregates[strategy] = {"n": len(sub), **agg}
+    return {"records": records, "aggregates": aggregates,
+            "summary": generate_report(records, aggregates)}
+
+
+def _run_evaluation_records(out_dir, cfg, questions) -> list[dict]:
     records = []
     for gold in (questions if questions is not None else GOLD_QUESTIONS):
         expected_terms = _expected_terms(out_dir, gold)
@@ -204,16 +224,7 @@ def run_evaluation(out_dir: str, cfg: PipelineConfig | None = None,
                             "scores": scores,
                             "retrieval_time_ms": resp.retrieval_time_ms,
                             "generation_time_ms": resp.generation_time_ms})
-    aggregates = {}
-    for strategy in ("vector", "graph"):
-        sub = [r for r in records if r["strategy"] == strategy]
-        agg = {}
-        for metric in sub[0]["scores"]:
-            mean, std = _mean_std([r["scores"][metric] for r in sub])
-            agg[metric] = {"mean": mean, "std_dev": std}
-        aggregates[strategy] = {"n": len(sub), **agg}
-    return {"records": records, "aggregates": aggregates,
-            "summary": generate_report(records, aggregates)}
+    return records
 
 
 def _expected_terms(out_dir: str, gold: dict) -> list[str]:

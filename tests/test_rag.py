@@ -49,14 +49,74 @@ def test_sanitize_properties():
 
 
 def test_build_and_rerank_context(kg_out):
-    bundle = build_context(kg_out.out, "hypertension and blood pressure")
+    # "related" -> complex (the caps below are the complex-tier ones)
+    q = "how are hypertension and blood pressure related"
+    bundle = build_context(kg_out.out, q)
     assert bundle.seed_entities
-    reranked = rerank_context_bundle(bundle, "hypertension and blood pressure")
+    reranked = rerank_context_bundle(bundle, q)
     assert len(reranked.seed_entities) <= 6
     assert len(reranked.neighborhood_nodes) <= 8
     assert len(reranked.citations) <= 8
-    text = format_context_for_prompt(reranked)
-    assert "== Entities ==" in text and "== Citations ==" in text
+    assert "## Graph Context" in format_context_for_prompt(reranked)
+    # the PRE-rerank bundle still has its citations -> Provenance section
+    # (post-rerank it may legitimately prune to empty — no min-keep)
+    assert bundle.citations
+    assert "## Provenance" in format_context_for_prompt(bundle)
+
+
+def test_context_bundle_carries_neighborhood_edges(kg_out):
+    """VERDICT r2 gap #1: the bundle must carry the edges its traversals
+    touched, matching queryside.edges_among over the same kept keys, and
+    the prompt must emit a relationships section."""
+    from medical_doc_knowledge_graph_system_ray.pipelines import queryside as qs
+
+    q = "how are the patient conditions and medications related"
+    bundle = build_context(kg_out.out, q)
+    assert bundle.neighborhood_edges, "edges missing from the bundle"
+    keys = {s["entity"] for s in bundle.seed_entities} | \
+        {n["key"] for n in bundle.neighborhood_nodes}
+    want = qs.edges_among(kg_out.out, keys)
+    assert bundle.neighborhood_edges == want
+    reranked = rerank_context_bundle(bundle, q)
+    kept = {s["entity"] for s in reranked.seed_entities} | \
+        {n["key"] for n in reranked.neighborhood_nodes}
+    assert all(e["subj"] in kept or e["obj"] in kept
+               for e in reranked.neighborhood_edges)
+    if reranked.neighborhood_edges:
+        assert "-[" in format_context_for_prompt(reranked)
+
+
+def test_rerank_reference_parity_semantics(kg_out):
+    """VERDICT r2 #8: threshold pruning may EMPTY the path list (no
+    embedding min-keep), simple queries cap paths at 0, and raw_chunks
+    pass through uncapped."""
+    from medical_doc_knowledge_graph_system_ray.pipelines.context import (
+        ContextBundle)
+
+    # synthetic bundle: 7 chunks (> the old cap of 5), paths with no name
+    # overlap with any kept entity
+    bundle = ContextBundle(
+        seed_entities=[{"entity": "hypertension", "label": "Condition"}],
+        neighborhood_nodes=[],
+        neighborhood_edges=[],
+        reasoning_paths=[["zzz_unrelated", "qqq_other"]],
+        citations=[],
+        raw_chunks=[f"chunk text {i}" for i in range(7)],
+        complexity="complex",
+    )
+    out = rerank_context_bundle(bundle, "hypertension blood pressure")
+    assert out.raw_chunks == bundle.raw_chunks  # uncapped pass-through
+    assert out.reasoning_paths == []  # no overlap with kept names -> pruned
+
+    # simple query: paths cap is 0 even when overlap exists
+    bundle.complexity = "simple"
+    bundle.reasoning_paths = [["hypertension", "lisinopril"]]
+    out = rerank_context_bundle(bundle, "hypertension blood pressure")
+    assert out.reasoning_paths == []
+    # threshold pruning can empty element lists outright (no min-keep):
+    # a nonsense query scores every seed below the raised simple bar
+    out2 = rerank_context_bundle(bundle, "xqzw vvkp jjqr")
+    assert out2.seed_entities == []
 
 
 def test_graph_and_vector_rag(kg_out):
