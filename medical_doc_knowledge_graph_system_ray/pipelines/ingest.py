@@ -186,6 +186,16 @@ class IngestPipeline:
             shard_names: set[str] = set()
             for part in ray.get(name_futs):
                 shard_names.update(part)
+            # distinct-name partial -> sidecar parquet (VERDICT r2 #6:
+            # the manifest is a driver-side JSON read on every resume —
+            # it keeps counts/lineage only, O(KB) regardless of
+            # vocabulary; the name list scales with the corpus)
+            sidecar = self._names_sidecar(shard)
+            os.makedirs(os.path.dirname(sidecar), exist_ok=True)
+            pq.write_table(
+                pa.table({"name": pa.array(sorted(shard_names), pa.string())}),
+                sidecar + ".tmp")
+            os.replace(sidecar + ".tmp", sidecar)
             self.manifest.commit(
                 unit,
                 {
@@ -194,7 +204,7 @@ class IngestPipeline:
                                 "num_shards": cfg.num_shards,
                                 "files": files[shard :: cfg.num_shards] if by_files else "hash"},
                     "rows": n_rows,
-                    "distinct_names": sorted(shard_names),
+                    "distinct_name_count": len(shard_names),
                     "seconds": round(time.time() - t0, 3),
                 },
             )
@@ -265,6 +275,9 @@ class IngestPipeline:
             d = os.path.join(self.out, "extraction", f"shard={s:04d}")
             if os.path.isdir(d):
                 shutil.rmtree(d)
+            sc = self._names_sidecar(s)
+            if os.path.isfile(sc):
+                os.remove(sc)
         for unit, artifact in self._DOWNSTREAM_UNITS:
             self.manifest.invalidate(unit)
             if artifact is None:
@@ -274,6 +287,11 @@ class IngestPipeline:
                 shutil.rmtree(p)
             elif os.path.isfile(p):
                 os.remove(p)
+
+    def _names_sidecar(self, shard: int) -> str:
+        """Per-shard distinct-name sidecar parquet (underscore dir: not
+        part of any readable table)."""
+        return os.path.join(self.out, "_names", f"shard={shard:04d}.parquet")
 
     def _extraction_ds(self, columns: list[str] | None = None) -> rd.Dataset:
         return rd.read_parquet(os.path.join(self.out, "extraction"), columns=columns)
@@ -286,16 +304,29 @@ class IngestPipeline:
             with open(path) as f:
                 return json.load(f)
         t0 = time.time()
-        # distinct names come from the per-shard partial aggregates recorded
-        # at extraction commit time (no extra scan job); fall back to a
-        # Dataset distinct when any shard predates that field (e.g. resumed
-        # from an older manifest) — at extreme cardinality the manifest
-        # partials would be replaced by the distributed unique() anyway
+        # distinct names come from the per-shard sidecar parquets written
+        # at extraction commit time (no extra scan job, manifest stays
+        # O(KB) — VERDICT r2 #6); legacy manifests may still carry the
+        # inline list; fall back to a Dataset distinct when neither is
+        # present — at extreme cardinality the driver union below would
+        # be replaced by the distributed unique() anyway
         shard_units = [self.manifest.read(f"extraction_shard_{s:04d}")
                        for s in range(self.cfg.num_shards)]
-        if all(u and "distinct_names" in u for u in shard_units):
-            names = sorted({n for u in shard_units for n in u["distinct_names"]})
-        else:
+        names = None
+        if all(shard_units):
+            acc: set[str] = set()
+            for s, u in enumerate(shard_units):
+                if "distinct_names" in u:  # legacy inline record
+                    acc.update(u["distinct_names"])
+                elif os.path.isfile(self._names_sidecar(s)):
+                    acc.update(pq.read_table(
+                        self._names_sidecar(s)).column("name").to_pylist())
+                else:
+                    acc = None
+                    break
+            if acc is not None:
+                names = sorted(acc)
+        if names is None:
             names = distinct_mention_names(self._extraction_ds())
         name_map = build_name_map(names, self.cfg)
         tmp = path + ".tmp"
