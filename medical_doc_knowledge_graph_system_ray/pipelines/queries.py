@@ -128,8 +128,9 @@ def q_kg_chunk_embeddings(sf_dir: str):
     )
 
     def norms(batch: pa.Table) -> pa.Table:
-        embs = np.array([list(v) for v in batch.column("embedding").to_pylist()],
-                        dtype=np.float32)
+        # zero-copy list flatten + reshape (no per-row Python loop)
+        flat = batch.column("embedding").combine_chunks().flatten()
+        embs = np.asarray(flat, dtype=np.float32).reshape(batch.num_rows, -1)
         return pa.table({
             "chunk_id": batch.column("chunk_id"),
             "embedding_norm": pa.array(np.round(np.linalg.norm(embs, axis=1), 4)),
@@ -525,13 +526,15 @@ def q_region_customer_counts(sf_dir: str):
 
     class AddRegion:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            # broadcast dim read once per actor; vectorized map via
+            # index_in + take (no per-row dict lookup)
+            lookup = ray.get(ref)
+            self.keys = pa.array(list(lookup.keys()))
+            self.vals = pa.array(list(lookup.values()), type=pa.string())
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch.column("c_nationkey").to_pylist()
-            return batch.append_column(
-                "region", pa.array([self.lookup[k] for k in keys], type=pa.string())
-            )
+            idx = pc.index_in(batch.column("c_nationkey"), value_set=self.keys)
+            return batch.append_column("region", pc.take(self.vals, idx))
 
     out = (
         rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
