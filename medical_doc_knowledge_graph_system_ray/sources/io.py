@@ -122,13 +122,18 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
 _TARGET_SPLITS = 64
 
 
-def _grouped_refs(ds) -> list[list]:
+def _grouped_refs(ds, n_groups: int | None = None) -> list[list]:
     """Materialize the dataset and group its block refs so the exchange
-    runs ~_TARGET_SPLITS split tasks, each concatenating its group."""
+    runs ~_TARGET_SPLITS split tasks, each concatenating its group.
+
+    Callers with quadratic task fan-out (all-pairs kernels spawn
+    B(B+1)/2 tasks over B groups) pass a smaller n_groups — sized so
+    task count tracks cluster cores, not the upstream block count —
+    otherwise tiny-task scheduling overhead dominates the kernel."""
     refs = ds.to_arrow_refs()
     if not refs:
         return []
-    n_groups = min(_TARGET_SPLITS, len(refs))
+    n_groups = min(n_groups or _TARGET_SPLITS, len(refs))
     # round-robin so consecutive (often size-correlated) blocks spread
     # across split tasks instead of loading a few of them
     return [refs[i::n_groups] for i in range(n_groups)]

@@ -31,7 +31,21 @@ logger = logging.getLogger(__name__)
 
 from ..functions.hashing import MinHasher, hamming64, simhash64, stable_hash64
 from ..functions.unionfind import UnionFind
-from .text_analysis import round_half_away
+from .text_analysis import round_half_away, round_half_away_scalar
+
+
+def _quadratic_block_count() -> int:
+    """Block count B for all-pairs kernels: B(B+1)/2 tasks ≈ 4 per core
+    keeps every core busy with meaningfully-sized tasks. The default
+    64-way exchange split would spawn 2080 near-empty tasks and drown
+    the kernel in scheduling overhead on small inputs."""
+    import math
+
+    import ray
+
+    cpus = ray.cluster_resources().get("CPU", 8) if ray.is_initialized() else 8
+    return max(2, int(math.sqrt(8 * cpus)))
+
 
 # ── exact dedup ────────────────────────────────────────────────────────
 
@@ -387,24 +401,28 @@ def ngram_jaccard_pairs(ds, threshold: float = 0.5, shingle_n: int = 3,
         ids_b, sb = blk_b
         rows = []
         for i in range(len(ids_a)):
+            ai, si, ni = ids_a[i], sa[i], len(sa[i])
             for j in range(len(ids_b)):
-                a, b = ids_a[i], ids_b[j]
+                a, b = ai, ids_b[j]
                 if same and a >= b:
                     continue
                 if a > b:
                     a, b = b, a
-                ua = sa[i] | sb[j]
+                # |A∪B| = |A|+|B|-|A∩B| — never materialize the union set
+                inter = len(si & sb[j])
+                union = ni + len(sb[j]) - inter
                 # half-away rounding: |A∩B|/|A∪B| lands on exact 5e-7 ties
                 # whenever |A∪B| divides 2e6 (e.g. 1/128) — Python's
                 # half-even round() would diverge from the DuckDB oracle
-                jac = (float(round_half_away(len(sa[i] & sb[j]) / max(len(ua), 1), 6))
-                       if ua else 1.0)
+                jac = round_half_away_scalar(inter / union, 6) if union else 1.0
                 if jac >= threshold:
                     rows.append({"a": a, "b": b, "jaccard": jac})
         return pa.Table.from_pylist(rows, schema=_JACCARD_SCHEMA)
 
-    groups = _grouped_refs(ds.map_batches(
-        lambda t: t.select([id_col, text_col]), batch_format="pyarrow"))
+    groups = _grouped_refs(
+        ds.map_batches(lambda t: t.select([id_col, text_col]),
+                       batch_format="pyarrow"),
+        n_groups=_quadratic_block_count())
     blocks = [shingle_block.remote(*g) for g in groups]
     futs = [pair_block.remote(blocks[i], blocks[j], i == j)
             for i in range(len(blocks)) for j in range(i, len(blocks))]
@@ -547,8 +565,10 @@ def embedding_neardup_exact(ds, threshold: float = 0.45,
             rows.append({"a": a, "b": b, "cosine": float(sims[i, j])})
         return pa.Table.from_pylist(rows, schema=_PAIR_SCHEMA)
 
-    groups = _grouped_refs(ds.map_batches(
-        lambda t: t.select([id_col, emb_col]), batch_format="pyarrow"))
+    groups = _grouped_refs(
+        ds.map_batches(lambda t: t.select([id_col, emb_col]),
+                       batch_format="pyarrow"),
+        n_groups=_quadratic_block_count())
     blocks = [norm_block.remote(*g) for g in groups]
     futs = []
     for i in range(len(blocks)):

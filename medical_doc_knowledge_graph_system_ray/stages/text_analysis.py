@@ -10,6 +10,7 @@ actor pools.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -43,6 +44,18 @@ def round_half_away(x, decimals: int = 6):
     f = y - np.floor(y)
     r = np.where(f >= 0.5, np.floor(y) + 1.0, np.floor(y)) / p
     return np.where(x < 0, -r, r)
+
+
+def round_half_away_scalar(v: float, decimals: int = 6) -> float:
+    """Scalar fast path of round_half_away for NON-NEGATIVE v.
+
+    ~100x cheaper than the numpy path (no array construction) and
+    bit-identical for 0 <= v*10^d < 2^52: v*p + 0.5 is exact there, and
+    floor(y + 0.5) == floor(y) + 1 exactly when frac(y) >= 0.5. Use in
+    per-pair Python loops (quadratic dedup kernels); keep the array form
+    for vectorized columns."""
+    p = 10.0 ** decimals
+    return math.floor(v * p + 0.5) / p
 
 
 class LangId:
