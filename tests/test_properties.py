@@ -105,3 +105,44 @@ def test_simhash_stability(tokens):
 def test_stable_hash_is_stable(s):
     assert stable_hash64(s) == stable_hash64(s)
     assert 0 <= stable_hash64(s) < 2 ** 64
+
+
+# --- json_col_to_map_array: dictionary-decoded path vs naive per-row parse ---
+
+_prop_dicts = st.dictionaries(
+    st.text(alphabet="abcxyz_", min_size=1, max_size=10),
+    st.text(max_size=20),
+    max_size=5,
+)
+
+
+@given(st.lists(st.one_of(st.none(), _prop_dicts), min_size=1, max_size=40),
+       st.booleans())
+@settings(max_examples=100, deadline=None)
+def test_json_col_to_map_array_matches_per_row_parse(dicts, chunked):
+    import json as _json
+
+    import pyarrow as pa
+
+    from medical_doc_knowledge_graph_system_ray.schemas import (
+        json_col_to_map_array,
+        props_to_json,
+    )
+
+    # Repeat values so the dictionary-encode fast path actually dedups,
+    # and include nulls/empty dicts (the fill_null("") -> [] branch).
+    strings = [None if d is None else props_to_json(d) for d in dicts] * 2
+    col = pa.chunked_array([strings[: len(dicts)], strings[len(dicts):]],
+                           type=pa.string()) \
+        if chunked else pa.array(strings, type=pa.string())
+    out = json_col_to_map_array(col)
+    assert out.type == pa.map_(pa.string(), pa.string())
+    expected = []
+    for v in strings:
+        if not v:
+            expected.append([])
+        else:
+            expected.append(sorted((str(k), str(val))
+                                   for k, val in _json.loads(v).items()))
+    assert out.to_pylist() == [
+        [(k, val) for k, val in row] for row in expected]
