@@ -50,17 +50,24 @@ class cached_tables:
     def __init__(self, out_dir: str, tables=("triples", "entities",
                                              "mentions", "chunks")):
         self.keys = [(out_dir, t) for t in tables]
+        self._owned: list[tuple[str, str]] = []
 
     def __enter__(self):
+        # ownership tracking (ADVICE r3): only evict the keys THIS
+        # instance inserted, so nested/overlapping contexts over the same
+        # out_dir don't pull entries out from under an outer context
+        self._owned = []
         for out_dir, t in self.keys:
             if (out_dir, t) not in _DS_CACHE:
                 _DS_CACHE[(out_dir, t)] = rd.read_parquet(
                     os.path.join(out_dir, t)).materialize()
+                self._owned.append((out_dir, t))
         return self
 
     def __exit__(self, *exc):
-        for k in self.keys:
+        for k in self._owned:
             _DS_CACHE.pop(k, None)
+        self._owned = []
         return False
 
 
@@ -211,10 +218,17 @@ def shortest_path_detailed(out_dir: str, a: str, b: str,
                              "cand": agg.column("cand_min")})
 
         ds = _read(out_dir, "triples", columns=["subj", "pred", "obj"])
+        # cross-batch groupby-min BEFORE the cap (ADVICE r3): the same
+        # target surfaces once per batch, and duplicates must not count
+        # against max_frontier — the limit now measures DISTINCT next-
+        # frontier nodes, so truncation only fires on a genuinely huge
+        # frontier (and still deterministically: min cand per target)
+        from ray.data.aggregate import Min
         rows = (ds.map_batches(hop_candidates, batch_format="pyarrow")
+                .groupby("to").aggregate(Min("cand", alias_name="cand"))
                 .limit(max_frontier).take_all())
         best: dict[str, str] = {}
-        for e in rows:  # final cross-batch min merge (frontier-sized)
+        for e in rows:  # already one row per target; dict for lookup only
             c = best.get(e["to"])
             if c is None or e["cand"] < c:
                 best[e["to"]] = e["cand"]

@@ -281,8 +281,9 @@ def map_partitions_write(src_dir: str, dst_dir: str, fn, sort_keys: list[str],
     return sorted(ray.get(futs), key=lambda r: r["partition"])
 
 
-def read_table_dir(path: str) -> pa.Table:
+def read_table_dir(path: str, columns: list[str] | None = None) -> pa.Table:
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
     )
-    return pa.concat_tables([pq.read_table(f) for f in files]) if files else None
+    return (pa.concat_tables([pq.read_table(f, columns=columns) for f in files])
+            if files else None)

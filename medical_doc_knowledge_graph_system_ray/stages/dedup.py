@@ -187,6 +187,13 @@ def _relabel(mapping: dict):
     return fn
 
 
+def _join_buckets(n_rows: int, lo: int = 2, hi: int = 16,
+                  rows_per_bucket: int = 2_000) -> int:
+    """Keyed-join bucket count sized to the driving row volume: ~one
+    bucket per `rows_per_bucket` candidate rows, clamped to [lo, hi]."""
+    return max(lo, min(hi, 1 + n_rows // rows_per_bucket))
+
+
 def _distinct_pairs(cand_ds):
     """Distinct (a, b) candidate pairs (the same pair surfaces from several
     bands): a multi-key groupby shuffle of 16-byte rows — the cheapest
@@ -257,6 +264,28 @@ def _min_label_components(edges, num_buckets: int = 16, max_iters: int = 30):
                                  batch_format="pyarrow")
         new_labels = (m1.union(m2).union(own).groupby("node")
                       .aggregate(Min("cand", alias_name="label")).materialize())
+        # pointer doubling (ADVICE r3): label <- label(label). Every label
+        # is itself a node id present in `new_labels`, so one keyed join
+        # fetches the label's own label; taking the min with the current
+        # value halves the pointer-chain depth each round, converging in
+        # O(log diameter) rounds instead of O(diameter) — a 100k-edge
+        # similarity chain no longer outruns max_iters.
+        ptr = hash_join(
+            new_labels.map_batches(
+                lambda t: pa.table({"node": t.column("label"),
+                                    "__src": t.column("node")}),
+                batch_format="pyarrow"),
+            new_labels, on="node", num_buckets=num_buckets)
+        doubled = ptr.map_batches(
+            lambda t: pa.table({"node": t.column("__src"),
+                                "cand": t.column("label")}),
+            batch_format="pyarrow")
+        own2 = new_labels.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "cand": t.column("label")}),
+            batch_format="pyarrow")
+        new_labels = (doubled.union(own2).groupby("node")
+                      .aggregate(Min("cand", alias_name="label")).materialize())
         # labels only ever decrease; fixpoint = zero changed rows
         chg = hash_join(new_labels,
                         labels.rename_columns({"label": "__old"}),
@@ -269,8 +298,13 @@ def _min_label_components(edges, num_buckets: int = 16, max_iters: int = 30):
         if n_changed == 0:
             break
     else:
-        logger.warning("min-label propagation hit max_iters=%d before "
-                       "convergence", max_iters)
+        # with doubling, non-convergence within max_iters=30 implies a
+        # component diameter > 2^30 — impossible on real inputs, so any
+        # hit here is a bug; unconverged labels would silently split one
+        # true cluster into several dup_groups (ADVICE r3: raise, not warn)
+        raise RuntimeError(
+            f"min-label propagation failed to converge in {max_iters} "
+            f"pointer-doubled rounds — component labels are not stable")
     return labels
 
 
@@ -304,7 +338,8 @@ def minhash_lsh_dedup(ds, jaccard_threshold: float = 0.8,
         .groupby("band_key")
         .map_groups(_candidate_pairs_in_group, batch_format="pyarrow")
     ).materialize()
-    if candidates.count() == 0:
+    n_cands = candidates.count()
+    if n_cands == 0:
         return ds.map_batches(
             lambda t: t.append_column(
                 "dup_group", t.column("doc_id").cast(pa.int64())),
@@ -327,8 +362,13 @@ def minhash_lsh_dedup(ds, jaccard_threshold: float = 0.8,
                          "b": pa.array(rows_b, type=pa.int64()),
                          "jaccard": pa.array(rows_j, type=pa.float64())})
 
-    edges = _verified_pairs_via_join(ds, candidates, "doc_id", "text",
-                                     verify).materialize()
+    # join bucket count sized to candidate volume (VERDICT r3 #4): the
+    # verification join runs 2 keyed joins x B bucket tasks; 16 static
+    # buckets over ~10^2 pairs is pure scheduling overhead, while a
+    # template-heavy corpus with 10^5+ candidates still fans out wide
+    edges = _verified_pairs_via_join(
+        ds, candidates, "doc_id", "text", verify,
+        num_buckets=_join_buckets(n_cands)).materialize()
     n_edges = edges.count()
 
     if n_edges <= driver_closure_max_edges:
@@ -674,7 +714,8 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 16,
         .groupby("band_key")
         .map_groups(cand_pairs, batch_format="pyarrow")
     ).materialize()
-    if candidates.count() == 0:
+    n_cands = candidates.count()
+    if n_cands == 0:
         return rd.from_arrow(pa.Table.from_pylist([], schema=_PAIR_SCHEMA))
 
     def encode(t: pa.Table) -> pa.Table:
@@ -711,7 +752,8 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 16,
                                             type=pa.float64())})
 
     enc = ds.map_batches(encode, batch_format="pyarrow")
-    return _verified_pairs_via_join(enc, candidates, id_col, emb_col, verify)
+    return _verified_pairs_via_join(enc, candidates, id_col, emb_col, verify,
+                                    num_buckets=_join_buckets(n_cands))
 
 
 def embedding_neardup_pairs(ds, threshold: float = 0.95, bands=None):

@@ -406,6 +406,16 @@ def bucketed_dangling_filter_write(triples_raw_dir: str, entities_dir: str,
     P = len(files)
     ent_files = {int(f.split("-")[1].split(".")[0]): os.path.join(entities_dir, f)
                  for f in os.listdir(entities_dir) if f.endswith(".parquet")}
+    # Correctness guard (ADVICE r3): both tables MUST share the same
+    # partition count/hash, or a missing entity bucket silently filters
+    # its triples against an empty key set. Fail loudly on mismatch
+    # (e.g. num_output_partitions changed between resumed runs).
+    if set(ent_files) != set(range(P)):
+        raise ValueError(
+            f"bucketed dangling filter: entities table has partitions "
+            f"{sorted(ent_files)} but triples_raw has {P} partitions "
+            f"(0..{P - 1}); the two tables were written with different "
+            f"num_output_partitions — rerun the entities stage")
 
     def _ent_keys(bucket: int) -> set:
         fp = ent_files.get(bucket)

@@ -113,7 +113,11 @@ def quality_score_batch(batch: pd.DataFrame) -> pd.DataFrame:
     tokens = texts.str.replace(re.compile(r"^\s+|\s+$", re.ASCII), "",
                                regex=True).str.split(re.compile(r"\s+", re.ASCII))
     n_tokens = tokens.str.len().fillna(0).astype("int64")
-    mean_tok_len = (texts.str.replace(r"\s+", "", regex=True).str.len() /
+    # ASCII \s here too (ADVICE r3): the numerator must strip exactly the
+    # characters the tokenizer splits on, or NBSP-style whitespace counts
+    # toward mean_token_len while not separating tokens
+    mean_tok_len = (texts.str.replace(re.compile(r"\s+", re.ASCII), "",
+                                      regex=True).str.len() /
                     n_tokens.clip(lower=1))
     # ASCII \w: matches the DuckDB (RE2) oracle on non-ASCII text
     punct_ratio = texts.str.count(re.compile(r"[^\w\s]", re.ASCII)) / n_chars.clip(lower=1)
