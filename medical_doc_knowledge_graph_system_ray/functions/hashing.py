@@ -59,6 +59,41 @@ class MinHasher:
         vals = (self.a[:, None] * h[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    def signatures(self, shingle_lists: list[list[str]],
+                   chunk: int = 8192) -> np.ndarray:
+        """(n, num_perms) batch signatures, bit-identical to per-item
+        ``signature`` (same uint64 wrap + mod arithmetic): each DISTINCT
+        shingle is blake2b-hashed once (factorize) and the per-item min
+        runs as a segmented reduce — ~10x the per-item loop on batches of
+        short strings. Memory bounded by ``chunk`` items per tile."""
+        import pandas as pd
+
+        n = len(shingle_lists)
+        out = np.full((n, self.num_perms), _MERSENNE, dtype=np.uint64)
+        for c0 in range(0, n, chunk):
+            sls = shingle_lists[c0 : c0 + chunk]
+            m = len(sls)
+            lens = np.fromiter((len(s) for s in sls), dtype=np.int64, count=m)
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            flat = np.empty(total, dtype=object)
+            pos = 0
+            for sl in sls:
+                flat[pos : pos + len(sl)] = sl
+                pos += len(sl)
+            codes, uniques = pd.factorize(flat, sort=False)
+            uh = np.fromiter((stable_hash64(u) % _MERSENNE for u in uniques),
+                             dtype=np.uint64, count=len(uniques))
+            h = uh[codes]
+            vals = (self.a[:, None] * h[None, :] + self.b[:, None]) \
+                % np.uint64(_MERSENNE)
+            nonempty = np.nonzero(lens > 0)[0]
+            starts = (np.concatenate(([0], np.cumsum(lens)))[:-1])[nonempty]
+            for p in range(self.num_perms):
+                out[c0 + nonempty, p] = np.minimum.reduceat(vals[p], starts)
+        return out
+
     def band_keys(self, shingles: list[str], bands: int) -> list[str]:
         """LSH band keys: names sharing any band key become candidate pairs."""
         return self.band_keys_from_signature(self.signature(shingles), bands)

@@ -49,7 +49,6 @@ from ..sources.io import (map_partitions_write, read_table_dir, write_partitione
 from ..state.manifest import Manifest
 from ..stages import materialize as mat
 from ..stages.chunking import chunk_batch, spans_batch
-from ..stages.extraction import ExtractorActor
 from ..stages.resolution import build_name_map, distinct_mention_names
 
 
@@ -80,24 +79,205 @@ def _file_label_counts(fp: str) -> dict[str, int]:
             for d in pc.value_counts(col.column("label")).to_pylist()}
 
 
-@ray.remote(num_cpus=0)
-def _file_distinct_mention_names(fp: str) -> list[str]:
-    """Per-file partial of the distinct-name aggregate, run as a Ray task
-    so the shard commit's name partial never scans columns on the driver.
+def _bucket_slices(t: pa.Table, col: str, P: int) -> list[pa.Table]:
+    """Split a table into its P hash-bucket slices (sources.io contract)."""
+    import numpy as np
 
-    num_cpus=0: the shard commit blocks on these short I/O-bound column
-    reads; with a CPU reservation they queue behind the (saturated)
-    extraction actor pools and stretch every wave by 10-20 s at 32 CPUs.
+    from ..sources.io import bucket_of
 
-    Note: an overlapped mentions exchange (per-shard chunk_id-bucketed
-    partials written here, partition-local remap after the name map) was
-    measured and REVERTED: on a saturated single node it re-reads and
-    re-writes the mention volume with no idle slack to hide it (+20 s
-    e2e at 32 CPUs vs the shared-scan two-spec exchange). On a cluster
-    with I/O slack during extraction it becomes attractive again."""
-    t = pq.read_table(fp, columns=["kind", "name"])
-    m = t.filter(pc.equal(t.column("kind"), "m"))
-    return m.column("name").unique().to_pylist()
+    if t.num_rows == 0:
+        return [t] * P
+    b = np.asarray(bucket_of(t.column(col).to_pylist(), P))
+    return [t.take(pa.array(np.nonzero(b == k)[0])) if (b == k).any()
+            else t.slice(0, 0) for k in range(P)]
+
+
+_MENTION_RAW_COLS = ["kind", "chunk_id", "doc_id", "name", "label",
+                     "confidence", "method", "props", "order_key"]
+_TRIPLE_RAW_COLS = ["kind", "subj", "subj_label", "pred", "obj", "obj_label",
+                    "confidence", "props", "chunk_id"]
+
+
+@ray.remote
+def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
+                        num_shards: int, by_files: bool, tmp_dir: str,
+                        part: int):
+    """One flat extraction task: read its file group, chunk + extract in
+    bounded slices, write ONE zstd parquet part into the shard's tmp dir,
+    and return (stats, mention bucket slices, triple bucket slices).
+
+    The stats dict carries the row count + distinct mention names so the
+    shard commit needs no post-write re-scan. The bucket slices feed
+    Phase A's write tasks DIRECTLY through the object store — when every
+    shard is extracted in this run, the mentions/triples exchange never
+    re-reads the extraction table from disk and its split layer
+    disappears (the slices spill to disk automatically under memory
+    pressure, so the at-scale behavior degrades to exactly the file
+    path, which remains the resume fallback).
+
+    The extractor state (alias regex, rule tables) comes from the
+    worker-global compile-once cache — Ray tasks reuse warm worker
+    processes, so setup amortizes exactly like an actor pool's __init__
+    without reserving pool CPUs."""
+    from ..stages.extraction import EXTRACTION_SCHEMA, worker_extractor
+
+    from ..schemas import SPANS_SCHEMA as _SPANS
+
+    ext = worker_extractor()
+    pred = None if by_files else _shard_expr(shard, num_shards)
+    outs: list[pa.Table] = []
+    chunk_tabs: list[pa.Table] = []
+    span_tabs: list[pa.Table] = []
+    for fp in files:
+        t = pq.read_table(fp)
+        if pred is not None:
+            t = pred(t)
+        span_tabs.append(spans_batch(t))
+        # bounded slices keep peak memory ~one chunk batch regardless of
+        # file size (a 1M-doc file never materializes all its chunks)
+        for off in range(0, t.num_rows, cfg.chunk_batch_size):
+            sl = t.slice(off, cfg.chunk_batch_size)
+            chunks = chunk_batch(sl, cfg)
+            chunk_tabs.append(chunks)
+            outs.append(ext.extract_batch(chunks))
+    out = (pa.concat_tables(outs) if outs
+           else pa.Table.from_pylist([], schema=EXTRACTION_SCHEMA))
+    chunks_all = (pa.concat_tables(chunk_tabs) if chunk_tabs
+                  else pa.Table.from_pylist([], schema=CHUNKS_SCHEMA))
+    spans_all = (pa.concat_tables(span_tabs) if span_tabs
+                 else pa.Table.from_pylist([], schema=_SPANS))
+    fname = os.path.join(tmp_dir, f"part-{part:05d}.parquet")
+    pq.write_table(out, fname, compression="zstd")
+    is_m = pc.equal(out.column("kind"), "m")
+    m = out.filter(is_m).select(_MENTION_RAW_COLS)
+    t_rows = out.filter(pc.invert(is_m)).select(_TRIPLE_RAW_COLS)
+    P = cfg.num_output_partitions
+    stats = {"rows": out.num_rows,
+             "names": m.column("name").unique().to_pylist()}
+    # mentions/chunks/spans pre-bucket on remap-invariant keys; triples
+    # CANNOT pre-bucket — the canonical remap rewrites subj, so their
+    # bucketing happens after the name map exists (_triples_remap_task).
+    # The chunk/span slices make this the ONLY corpus read + chunking
+    # pass in the pipeline: the chunks/spans writers consume them with no
+    # name-map dependency, concurrently with the name-map barrier.
+    return (stats, *_bucket_slices(m, "chunk_id", P), t_rows,
+            *_bucket_slices(chunks_all, "doc_id", P),
+            *_bucket_slices(spans_all, "doc_id", P))
+
+
+def _concat_slices(slices) -> pa.Table:
+    tables = [s for s in slices if s.num_rows > 0]
+    if tables:
+        return pa.concat_tables(tables, promote_options="default")
+    return slices[0]
+
+
+@ray.remote
+def _mentions_write_task(bucket: int, name_map_ref_box: list, path: str,
+                         n_ent_buckets: int, *slices: pa.Table):
+    """Phase A mentions writer fed by extraction-task bucket slices:
+    remap + partition-global dedup + JSON->map + sorted zstd write, then
+    entity-candidate bucket slices for the entities writers — chaining
+    the phases through the object store removes both the extraction-table
+    re-read and the mentions-table re-read (the two barriers that pinned
+    Phase A + entities at the same wall time on 8 and 32 CPUs)."""
+    from ..sources.io import write_table_partition
+    from ..stages import materialize as mat
+
+    # name_map_ref rides inside a list so Ray does NOT auto-resolve it
+    # per task arg; fetch_broadcast then deserializes once per WORKER
+    t = _concat_slices(slices)
+    m = mat.remap_mentions_batch(t, mat.fetch_broadcast(name_map_ref_box[0]))
+    m = mat.mention_finalize_partition(m)
+    m = _props_json_to_map(m)
+    m = m.select(MENTIONS_SCHEMA_FINAL.names).cast(MENTIONS_SCHEMA_FINAL)
+    row = write_table_partition(m, path, bucket, ["order_key"])
+    cands = mat.entity_candidates_from_mentions_batch(m)
+    return (row, *_bucket_slices(cands, "key", n_ent_buckets))
+
+
+@ray.remote
+def _triples_remap_task(name_map_ref_box: list, P: int, t_rows: pa.Table):
+    """Phase A triples split layer fed by an extraction task's raw
+    t-rows: endpoint remap + per-batch partial (s,p,o) reduce, THEN
+    bucket by the now-canonical subj (the remap rewrites subj, so
+    bucketing must follow it — pre-bucketing raw subj would scatter one
+    canonical (s,p,o) group across partitions and break the
+    partition-local reduce)."""
+    from ..stages import materialize as mat
+
+    tr = mat.remap_triples_batch(t_rows, mat.fetch_broadcast(name_map_ref_box[0]),
+                                 None)
+    out = _bucket_slices(tr, "subj", P)
+    return tuple(out) if P > 1 else out[0]
+
+
+@ray.remote
+def _triples_raw_write_task(bucket: int, path: str,
+                            *slices: pa.Table) -> dict:
+    """Phase A triples writer: partition-global (s,p,o) reduce + sorted
+    zstd write (the dangling semi-join stays deferred to Phase C —
+    entities don't exist yet)."""
+    from ..sources.io import write_table_partition
+    from ..stages import materialize as mat
+
+    t = _concat_slices(slices)
+    tr = mat.triple_finalize_partition(t)
+    return write_table_partition(tr, path, bucket, ["subj", "pred", "obj"])
+
+
+def _embed_chunks_table(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
+    """Append the embedding column (A1 analog) — worker-global embedder,
+    built once per worker process; runs WRITE-side so the 1536 B/chunk
+    vectors never ride any exchange."""
+    import numpy as np
+
+    from ..functions.embedder import make_embedder
+    from ..stages import materialize as _m
+
+    emb = _m._BCAST.setdefault(
+        f"__embedder_{cfg.chunk_embedder}_{cfg.embedding_dim}",
+        make_embedder(cfg.chunk_embedder, cfg.embedding_dim))
+    vecs = emb.embed_batch(t.column("text").to_pylist())
+    arr = pa.FixedSizeListArray.from_arrays(
+        pa.array(vecs.astype(np.float32).ravel()), cfg.embedding_dim)
+    return t.append_column("embedding", arr)
+
+
+@ray.remote
+def _chunks_write_task(bucket: int, path: str, cfg: PipelineConfig,
+                       schema, *slices: pa.Table) -> dict:
+    from ..sources.io import write_table_partition
+
+    t = _concat_slices(slices)
+    if cfg.embed_chunks:
+        t = _embed_chunks_table(t, cfg)
+    t = t.select(schema.names).cast(schema)
+    return write_table_partition(t, path, bucket, ["doc_id", "seq"])
+
+
+@ray.remote
+def _spans_write_task(bucket: int, path: str, schema,
+                      *slices: pa.Table) -> dict:
+    from ..sources.io import write_table_partition
+
+    t = _concat_slices(slices)
+    t = t.select(schema.names).cast(schema)
+    return write_table_partition(t, path, bucket, ["doc_id", "span_seq"])
+
+
+@ray.remote
+def _entities_write_task(bucket: int, path: str, *slices: pa.Table) -> dict:
+    """Entities writer fed by mentions-writer candidate slices:
+    first-writer-wins reduce + JSON->map + sorted zstd write."""
+    from ..sources.io import write_table_partition
+    from ..stages import materialize as mat
+
+    t = _concat_slices(slices)
+    t = mat.entity_finalize_partition(t)
+    t = _props_json_to_map(t)
+    t = t.select(ENTITIES_SCHEMA_FINAL.names).cast(ENTITIES_SCHEMA_FINAL)
+    return write_table_partition(t, path, bucket, ["label", "key"])
 
 
 def _list_parquet_files(path: str) -> list[str]:
@@ -119,91 +299,90 @@ class IngestPipeline:
         self.manifest = Manifest(self.out)
 
     # ── stage 1: chunk + extract, per shard (resume granularity) ──────
-    def run_extraction(self) -> None:
+    def run_extraction(self) -> dict | None:
         """Input sharding is file-granular when the input has >= num_shards
         parquet files (each shard reads ONLY its files — no redundant
-        full-input scans); otherwise a hash-of-doc_id row filter."""
+        full-input scans); otherwise a hash-of-doc_id row filter.
+
+        Execution is a FLAT fan-out of Ray tasks — one task per file
+        group, one zstd parquet part per task — with per-shard atomic
+        tmp->rename commits (the resume granularity is unchanged). This
+        replaced num_shards concurrent Ray-Data streaming-executor jobs:
+        each of those jobs took ~11 s alone but 33-38 s when 8 ran
+        concurrently at 32 CPUs (per-job executor startup, pinned actor
+        pools starving each other's read stages, and a post-write
+        re-scan for row counts and distinct names). Flat tasks let Ray
+        core pack the whole node, and each task returns its row count
+        and distinct-name partial directly, so the commit path does no
+        I/O beyond the rename + sidecar write. Extractor state compiles
+        once per worker process (see stages.extraction.worker_extractor),
+        preserving the actor-pool amortization."""
         cfg = self.cfg
         files = _list_parquet_files(self.docs_path)
         by_files = len(files) >= cfg.num_shards
         self._validate_resume_lineage(files, by_files)
+        pending = [s for s in range(cfg.num_shards)
+                   if not self.manifest.is_committed(f"extraction_shard_{s:04d}")]
+        if not pending:
+            return None
         try:
             cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
         except Exception:
             cluster_cpus = 4
-        # single wave: every pending shard job runs concurrently with a
-        # smaller per-shard pool, instead of 2 waves of num_shards/2 jobs
-        # whose pools saturate the node (the wave barrier serialized ~10 s
-        # of tail at 32 CPUs). Pool ceiling leaves ~1/4 of the node for
-        # read/split tasks and the concurrent chunks/spans side job.
-        workers = cfg.num_shards if cluster_cpus >= 16 else 1
-        # chunk+extract fuse into the actor pool, so pool size IS the shard's
-        # parallelism. Autoscaling floor of 1: empirically the best total-throughput
-        # config at both 8 and 32 CPUs — higher floors starve the unfused
-        # read tasks and the concurrent chunks/spans side job (measured up
-        # to 2x end-to-end regression on an 8-CPU cluster)
-        pool_min = 1
-        pool_max = (max(2, (cluster_cpus * 3 // 4) // cfg.num_shards)
-                    if cluster_cpus >= 16 else cfg.extract_concurrency)
+        import shutil
 
-        def run_shard(shard: int) -> None:
-            unit = f"extraction_shard_{shard:04d}"
-            if self.manifest.is_committed(unit):
-                return
-            t0 = time.time()
+        # ~2 tasks per core across the wave: enough slack for balance
+        # without drowning the scheduler in tiny tasks
+        per_shard_tasks = max(1, (2 * cluster_cpus) // max(len(pending), 1))
+        t_wave = time.time()
+        shard_futs: dict[int, list] = {}
+        shard_tmp: dict[int, str] = {}
+        import uuid
+
+        attempt = uuid.uuid4().hex[:8]
+        for shard in pending:
             shard_dir = os.path.join(self.out, "extraction", f"shard={shard:04d}")
-            tmp_dir = shard_dir + ".tmp"
-            if os.path.exists(tmp_dir):
-                import shutil
-
-                shutil.rmtree(tmp_dir)
+            # unique tmp dir per attempt: an aborted in-process run can
+            # leave ORPHANED tasks still writing into its tmp dirs (a real
+            # crash kills them with the driver, but library callers may
+            # restart in-process); stale tmp dirs are swept tolerantly and
+            # never collide with this attempt's
+            parent = os.path.dirname(shard_dir)
+            if os.path.isdir(parent):
+                prefix = os.path.basename(shard_dir) + ".tmp"
+                for stale in os.listdir(parent):
+                    if stale.startswith(prefix):
+                        shutil.rmtree(os.path.join(parent, stale),
+                                      ignore_errors=True)
+            tmp_dir = f"{shard_dir}.tmp-{attempt}"
+            os.makedirs(tmp_dir)
+            shard_tmp[shard] = tmp_dir
             if by_files:
-                src = rd.read_parquet(files[shard :: cfg.num_shards])
+                shard_files = files[shard :: cfg.num_shards]
+                n_tasks = min(len(shard_files), per_shard_tasks)
+                groups = [shard_files[i::n_tasks] for i in range(n_tasks)]
             else:
-                src = rd.read_parquet(self.docs_path).map_batches(
-                    _shard_expr(shard, cfg.num_shards), batch_format="pyarrow"
-                )
-            ds = (
-                src
-                .map_batches(
-                    lambda b: chunk_batch(b, cfg),
-                    batch_format="pyarrow",
-                    batch_size=cfg.chunk_batch_size,
-                )
-                .map_batches(
-                    ExtractorActor,
-                    batch_format="pyarrow",
-                    batch_size=cfg.extract_batch_size,
-                    # autoscaling pool: never the WHOLE node (a fully pinned
-                    # pool starves the read stage and deadlocks small
-                    # clusters), but started near target to skip the ramp
-                    concurrency=(pool_min, pool_max),
-                )
-            )
-            try:
-                # fewer, bigger files: downstream scan parallelism comes from
-                # row groups/blocks, not from thousands of tiny files
-                ds.write_parquet(tmp_dir, min_rows_per_file=200_000)
-            except TypeError:  # older Ray releases
-                ds.write_parquet(tmp_dir)
-            os.replace(tmp_dir, shard_dir)
-            # fold the distinct-name partial aggregate into the shard
-            # commit (the name-map barrier then needs no extra scan job);
-            # the per-file column scans fan out as Ray tasks — only the
-            # footer-only row counts touch the driver
-            shard_files = [os.path.join(shard_dir, f)
-                           for f in sorted(os.listdir(shard_dir))
-                           if f.endswith(".parquet")]
-            n_rows = sum(pq.read_metadata(fp).num_rows for fp in shard_files)
-            name_futs = [_file_distinct_mention_names.remote(fp)
-                         for fp in shard_files]
+                # hash mode (input has < num_shards files): every task
+                # scans all files and filters its rows — tiny inputs only
+                groups = [files]
+            nret = 2 + 3 * cfg.num_output_partitions
+            shard_futs[shard] = [
+                _extract_files_task.options(num_returns=nret).remote(
+                    g, cfg, shard, cfg.num_shards, by_files, tmp_dir, gi)
+                for gi, g in enumerate(groups)
+            ]
+
+        for shard in pending:
+            unit = f"extraction_shard_{shard:04d}"
+            parts = ray.get([f[0] for f in shard_futs[shard]])
+            shard_dir = os.path.join(self.out, "extraction", f"shard={shard:04d}")
+            os.replace(shard_tmp[shard], shard_dir)
             shard_names: set[str] = set()
-            for part in ray.get(name_futs):
-                shard_names.update(part)
+            for p in parts:
+                shard_names.update(p["names"])
             # distinct-name partial -> sidecar parquet (VERDICT r2 #6:
-            # the manifest is a driver-side JSON read on every resume —
-            # it keeps counts/lineage only, O(KB) regardless of
-            # vocabulary; the name list scales with the corpus)
+            # the manifest keeps counts/lineage only, O(KB) regardless
+            # of vocabulary; the name list scales with the corpus)
             sidecar = self._names_sidecar(shard)
             os.makedirs(os.path.dirname(sidecar), exist_ok=True)
             pq.write_table(
@@ -217,25 +396,25 @@ class IngestPipeline:
                     "lineage": {"input": self.docs_path, "shard": shard,
                                 "num_shards": cfg.num_shards,
                                 "files": files[shard :: cfg.num_shards] if by_files else "siphash-v2"},
-                    "rows": n_rows,
+                    "rows": sum(p["rows"] for p in parts),
                     "distinct_name_count": len(shard_names),
-                    "seconds": round(time.time() - t0, 3),
+                    "seconds": round(time.time() - t_wave, 3),
                 },
             )
 
-        # shards are independent jobs (separate commits = resume granularity);
-        # run a few concurrently so per-job fixed overhead doesn't serialize —
-        # each job is sized to ~cpus_per_job via its pool bounds above.
-        pending = [s for s in range(cfg.num_shards)
-                   if not self.manifest.is_committed(f"extraction_shard_{s:04d}")]
-        if workers <= 1 or len(pending) <= 1:
-            for s in pending:
-                run_shard(s)
-        else:
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(run_shard, pending))
+        if len(pending) != cfg.num_shards:
+            # partial resume: some shards' bucket slices were never
+            # produced this run — Phase A must fall back to reading the
+            # extraction table from disk
+            return None
+        P = cfg.num_output_partitions
+        all_futs = [f for shard in pending for f in shard_futs[shard]]
+        return {
+            "mentions": [f[1 : 1 + P] for f in all_futs],
+            "triples": [f[1 + P] for f in all_futs],
+            "chunks": [f[2 + P : 2 + 2 * P] for f in all_futs],
+            "spans": [f[2 + 2 * P : 2 + 3 * P] for f in all_futs],
+        }
 
     # downstream units + the table dirs they own, invalidated together when
     # any committed extraction shard's lineage no longer matches the input
@@ -331,18 +510,31 @@ class IngestPipeline:
                        for s in range(self.cfg.num_shards)]
         names = None
         if all(shard_units):
-            acc: set[str] = set()
-            for s, u in enumerate(shard_units):
-                if "distinct_names" in u:  # legacy inline record
-                    acc.update(u["distinct_names"])
-                elif os.path.isfile(self._names_sidecar(s)):
-                    acc.update(pq.read_table(
-                        self._names_sidecar(s)).column("name").to_pylist())
-                else:
-                    acc = None
-                    break
-            if acc is not None:
-                names = sorted(acc)
+            from ..stages.resolution import DISTRIBUTED_THRESHOLD
+
+            total = sum(u.get("distinct_name_count", 0) for u in shard_units)
+            sidecars = [self._names_sidecar(s)
+                        for s in range(self.cfg.num_shards)]
+            if (total > DISTRIBUTED_THRESHOLD
+                    and all(os.path.isfile(sc) for sc in sidecars)):
+                # open-vocabulary scale: union the per-shard partials as a
+                # Dataset unique() instead of a driver-side set fold
+                # (VERDICT r3 #2); the final list is O(distinct names) by
+                # the name-map design bound either way
+                names = sorted(rd.read_parquet(sidecars).unique("name"))
+            else:
+                acc: set[str] = set()
+                for s, u in enumerate(shard_units):
+                    if "distinct_names" in u:  # legacy inline record
+                        acc.update(u["distinct_names"])
+                    elif os.path.isfile(self._names_sidecar(s)):
+                        acc.update(pq.read_table(
+                            self._names_sidecar(s)).column("name").to_pylist())
+                    else:
+                        acc = None
+                        break
+                if acc is not None:
+                    names = sorted(acc)
         if names is None:
             names = distinct_mention_names(self._extraction_ds())
         name_map = build_name_map(names, self.cfg)
@@ -421,16 +613,19 @@ class IngestPipeline:
             specs = []
             if with_chunks_table:
                 if cfg.embed_chunks:
-                    # A1 analog inline: hashed-ngram embedding column on the
-                    # chunks table (worker-global embedder, built once per
-                    # worker process like the broadcast cache)
-                    def chunk_rows(b, cfg=cfg):
+                    # A1 analog: hashed-token embedding column on the chunks
+                    # table, computed in the WRITE-side finalize (after the
+                    # exchange) rather than in the split tasks — the
+                    # 1536 B/chunk vectors never ride the split->write
+                    # object-store hop (~2x the exchange volume at dim=384),
+                    # and the embed compute spreads over the P write tasks.
+                    # Worker-global embedder: built once per worker process.
+                    def chunks_finalize(t, cfg=cfg):
                         import numpy as np
 
                         from ..functions.embedder import make_embedder
                         from ..stages import materialize as _m
 
-                        t = chunk_batch(b, cfg)
                         emb = _m._BCAST.setdefault(
                             f"__embedder_{cfg.chunk_embedder}_{cfg.embedding_dim}",
                             make_embedder(cfg.chunk_embedder, cfg.embedding_dim))
@@ -444,15 +639,18 @@ class IngestPipeline:
                         pa.field("embedding",
                                  pa.list_(pa.float32(), cfg.embedding_dim)))
                 else:
-                    def chunk_rows(b, cfg=cfg):
-                        return chunk_batch(b, cfg)
-
+                    chunks_finalize = None
                     chunks_schema = CHUNKS_SCHEMA
+
+                def chunk_rows(b, cfg=cfg):
+                    return chunk_batch(b, cfg)
+
                 specs.append({"name": "chunks",
                               "path": os.path.join(self.out, "chunks"),
                               "row_fn": chunk_rows,
                               "key_col": "doc_id", "sort_keys": ["doc_id", "seq"],
-                              "schema": chunks_schema, "finalize_fn": None,
+                              "schema": chunks_schema,
+                              "finalize_fn": chunks_finalize,
                               "num_partitions": cfg.num_output_partitions})
             if with_spans:
                 specs.append({"name": "spans",
@@ -471,40 +669,104 @@ class IngestPipeline:
                     "rows": sum(r["rows"] for r in rows), "seconds": secs,
                 })
 
-        side(chunks_spans_stage)
+        slices = self.run_extraction()
 
-        self.run_extraction()
+        # chunks/spans: fast path consumes the extraction tasks' bucket
+        # slices (single corpus read + single chunking pass, no name-map
+        # dependency — the writers run concurrently with the name-map
+        # barrier and Phase A). Fallback (resume, or tables disabled
+        # selectively): the original standalone exchange on a side thread.
+        cs_futs: dict[str, list] = {}
+        cs_t0 = time.time()
+        if slices is not None:
+            if with_chunks_table and not self.manifest.is_committed("chunks"):
+                chunks_schema = (CHUNKS_SCHEMA.append(
+                    pa.field("embedding",
+                             pa.list_(pa.float32(), cfg.embedding_dim)))
+                    if cfg.embed_chunks else CHUNKS_SCHEMA)
+                cs_futs["chunks"] = [
+                    _chunks_write_task.remote(
+                        k, os.path.join(self.out, "chunks"), cfg, chunks_schema,
+                        *[ts[k] for ts in slices["chunks"]])
+                    for k in range(cfg.num_output_partitions)
+                ]
+            if with_spans and not self.manifest.is_committed("spans"):
+                cs_futs["spans"] = [
+                    _spans_write_task.remote(
+                        k, os.path.join(self.out, "spans"), SPANS_SCHEMA,
+                        *[ts[k] for ts in slices["spans"]])
+                    for k in range(cfg.num_output_partitions)
+                ]
+        else:
+            side(chunks_spans_stage)
+
         name_map = self.build_name_map()
         name_map_ref = ray.put(name_map)
+        P = cfg.num_output_partitions
 
-        # Phase A — ONE materialization of extraction feeds BOTH heavy
-        # outputs through a single multi-output exchange:
+        # Phase A — extraction feeds BOTH heavy outputs:
         #   mentions table (remap + partition-global dedup, bucketed by
         #   chunk_id)
         #   triples_raw  (endpoint remap + partial (s,p,o) dedup, bucketed by
         #   subj; dangling semi-join deferred — entities don't exist yet)
-        RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)
-        RemapTriplesNoJoin = mat.make_remap_triples_fn(name_map_ref, None, cfg)
+        # Fast path (fresh run): the extraction tasks already returned the
+        # bucket slices, so Phase A is ONE layer of write tasks consuming
+        # object refs — no disk re-read, no split layer, and the mentions
+        # writers hand their entity-candidate slices straight to Phase B.
+        # Fallback (resume with committed shards): the original
+        # multi-output exchange over the extraction parquet files.
+        ent_slices: list | None = None
         if not (self.manifest.is_committed("mentions")
                 and self.manifest.is_committed("triples_raw")):
             t0 = time.time()
-            specs = [
-                {"name": "mentions", "path": os.path.join(self.out, "mentions"),
-                 "row_fn": RemapMentions, "key_col": "chunk_id",
-                 "sort_keys": ["order_key"], "schema": MENTIONS_SCHEMA_FINAL,
-                 # global per-chunk dedup (bucketed by chunk_id) + JSON->map
-                 "finalize_fn": lambda t: _props_json_to_map(
-                     mat.mention_finalize_partition(t)),
-                 "num_partitions": cfg.num_output_partitions},
-                {"name": "triples_raw", "path": os.path.join(self.out, "triples_raw"),
-                 "row_fn": RemapTriplesNoJoin, "key_col": "subj",
-                 "sort_keys": ["subj", "pred", "obj"], "schema": None,
-                 "finalize_fn": mat.triple_finalize_partition,
-                 "num_partitions": cfg.num_output_partitions},
-            ]
-            results = write_partitioned_multi(
-                {"files": _list_parquet_files(os.path.join(self.out, "extraction"))},
-                specs)
+            if slices is not None:
+                m_dir = os.path.join(self.out, "mentions")
+                t_dir = os.path.join(self.out, "triples_raw")
+                m_futs = [
+                    _mentions_write_task.options(num_returns=1 + P).remote(
+                        k, [name_map_ref], m_dir, P,
+                        *[ts[k] for ts in slices["mentions"]])
+                    for k in range(P)
+                ]
+                r_futs = [
+                    _triples_remap_task.options(num_returns=P).remote(
+                        [name_map_ref], P, ts)
+                    for ts in slices["triples"]
+                ]
+                if P == 1:
+                    r_futs = [[r] for r in r_futs]
+                t_futs = [
+                    _triples_raw_write_task.remote(
+                        k, t_dir, *[rf[k] for rf in r_futs])
+                    for k in range(P)
+                ]
+                results = {
+                    "mentions": sorted(ray.get([f[0] for f in m_futs]),
+                                       key=lambda r: r["partition"]),
+                    "triples_raw": sorted(ray.get(t_futs),
+                                          key=lambda r: r["partition"]),
+                }
+                ent_slices = [f[1:] for f in m_futs]
+            else:
+                RemapMentions = mat.make_remap_mentions_fn(name_map_ref, cfg)
+                RemapTriplesNoJoin = mat.make_remap_triples_fn(name_map_ref, None, cfg)
+                specs = [
+                    {"name": "mentions", "path": os.path.join(self.out, "mentions"),
+                     "row_fn": RemapMentions, "key_col": "chunk_id",
+                     "sort_keys": ["order_key"], "schema": MENTIONS_SCHEMA_FINAL,
+                     # global per-chunk dedup (bucketed by chunk_id) + JSON->map
+                     "finalize_fn": lambda t: _props_json_to_map(
+                         mat.mention_finalize_partition(t)),
+                     "num_partitions": P},
+                    {"name": "triples_raw", "path": os.path.join(self.out, "triples_raw"),
+                     "row_fn": RemapTriplesNoJoin, "key_col": "subj",
+                     "sort_keys": ["subj", "pred", "obj"], "schema": None,
+                     "finalize_fn": mat.triple_finalize_partition,
+                     "num_partitions": P},
+                ]
+                results = write_partitioned_multi(
+                    {"files": _list_parquet_files(os.path.join(self.out, "extraction"))},
+                    specs)
             secs = round(time.time() - t0, 3)
             for name, rows in results.items():
                 self.manifest.commit(name, {
@@ -513,25 +775,33 @@ class IngestPipeline:
                 })
 
         # Phase B — entities from the mentions table (already remapped +
-        # deduped); per-split-task partial first-writer (combiner), global
-        # reduce vectorized inside the bucketed write (bucket key = entity
-        # key co-locates every candidate of a (label, key)). The files-dict
-        # source lets split tasks read the pruned mention columns directly —
-        # no Dataset scan job in front of the exchange.
+        # deduped): first-writer-wins reduce, bucketed by entity key so
+        # every candidate of a (label, key) co-locates. Fast path consumes
+        # the mentions writers' candidate slices; fallback re-reads the
+        # pruned mention columns from disk.
         if not self.manifest.is_committed("entities"):
             t0 = time.time()
-            results = write_partitioned_multi(
-                {"files": _list_parquet_files(os.path.join(self.out, "mentions")),
-                 "columns": ["canonical_name", "label", "order_key",
-                             "extraction_method", "properties"]},
-                [{"name": "entities", "path": os.path.join(self.out, "entities"),
-                  "row_fn": mat.entity_candidates_from_mentions_batch,
-                  "key_col": "key", "sort_keys": ["label", "key"],
-                  "schema": ENTITIES_SCHEMA_FINAL,
-                  "finalize_fn": lambda t: _props_json_to_map(
-                      mat.entity_finalize_partition(t)),
-                  "num_partitions": cfg.num_output_partitions}])
-            rows = results["entities"]
+            if ent_slices is not None:
+                e_dir = os.path.join(self.out, "entities")
+                e_futs = [
+                    _entities_write_task.remote(
+                        k, e_dir, *[es[k] for es in ent_slices])
+                    for k in range(P)
+                ]
+                rows = sorted(ray.get(e_futs), key=lambda r: r["partition"])
+            else:
+                results = write_partitioned_multi(
+                    {"files": _list_parquet_files(os.path.join(self.out, "mentions")),
+                     "columns": ["canonical_name", "label", "order_key",
+                                 "extraction_method", "properties"]},
+                    [{"name": "entities", "path": os.path.join(self.out, "entities"),
+                      "row_fn": mat.entity_candidates_from_mentions_batch,
+                      "key_col": "key", "sort_keys": ["label", "key"],
+                      "schema": ENTITIES_SCHEMA_FINAL,
+                      "finalize_fn": lambda t: _props_json_to_map(
+                          mat.entity_finalize_partition(t)),
+                      "num_partitions": P}])
+                rows = results["entities"]
             self.manifest.commit("entities", {
                 "stage": "entities", "partitions": rows,
                 "rows": sum(r["rows"] for r in rows),
@@ -577,6 +847,15 @@ class IngestPipeline:
                 "stage": "triples", "partitions": rows,
                 "rows": sum(r["rows"] for r in rows),
                 "seconds": round(time.time() - t0, 3),
+            })
+
+        for name, futs in cs_futs.items():
+            rows = sorted(ray.get(futs), key=lambda r: r["partition"])
+            self.manifest.commit(name, {
+                "stage": name, "partitions": rows,
+                "lineage": {"input": self.docs_path, "files": files0},
+                "rows": sum(r["rows"] for r in rows),
+                "seconds": round(time.time() - cs_t0, 3),
             })
 
         for t in side_threads:

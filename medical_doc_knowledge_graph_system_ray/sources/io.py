@@ -17,7 +17,7 @@ concat+sort+write task per bucket). ``Dataset.groupby`` would express
 the same thing, but its sort-based shuffle costs ~10x more wall time at
 10^6 rows than this direct exchange — this is the one place the engine
 drops below the Dataset API, and the output partitioning contract
-(bucket = crc32(key) % P) is documented here for every consumer that
+(bucket = siphash(key) % P, see bucket_of) is documented here for every consumer that
 relies on co-location (entity/triple dedup finalizers).
 """
 
@@ -25,14 +25,25 @@ from __future__ import annotations
 
 import hashlib
 import os
-import zlib
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 
 
-def bucket_of(values: list[str], num_partitions: int) -> list[int]:
-    return [zlib.crc32(v.encode()) % num_partitions for v in values]
+def bucket_of(values, num_partitions: int):
+    """Vectorized partition bucketing: pandas' fixed-key siphash over the
+    key column in one C pass (the per-row Python crc32 loop this replaced
+    cost ~1.5 us/row — 15+ cpu-seconds per full-corpus exchange). The
+    bucket function is the partitioning CONTRACT: every co-location
+    consumer (entity/triple finalizers, the bucketed semi-join) calls
+    this same function, so they stay consistent by construction."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.int64)
+    return (pd.util.hash_array(arr) % num_partitions).astype(np.int64)
 
 
 def write_table_partition(table: pa.Table, path: str, bucket: int,
@@ -55,7 +66,7 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
                       finalize_fn=None) -> list[dict]:
     """Distributed deterministic partitioned write of a Dataset.
 
-    bucket = crc32(key) % P; one sorted parquet file per bucket.
+    bucket = bucket_of(key) % P; one sorted parquet file per bucket.
     ``finalize_fn`` converts the in-flight representation to the final one
     (e.g. per-partition dedup reduce, JSON properties -> map) just before
     the sort+write. Returns manifest rows (one per partition).

@@ -148,20 +148,31 @@ def chunk_batch(batch: pa.Table, cfg: PipelineConfig) -> pa.Table:
 
 def spans_batch(batch: pa.Table) -> pa.Table:
     """documents -> flat spans provenance rows (the per-row span-sequence
-    invariant: (kind, text, media_ref, order) preserved verbatim)."""
-    out: list[dict] = []
-    doc_ids = batch.column("doc_id").to_pylist()
-    spans_col = batch.column("spans").to_pylist()
-    for doc_id, spans in zip(doc_ids, spans_col):
-        for i, s in enumerate(spans):
-            out.append(
-                {
-                    "doc_id": doc_id,
-                    "span_seq": i,
-                    "kind": s["kind"],
-                    "text": s["text"],
-                    "media_ref": s["media_ref"],
-                    "offset": s["offset"],
-                }
-            )
-    return pa.Table.from_pylist(out, schema=SPANS_SCHEMA)
+    invariant: (kind, text, media_ref, order) preserved verbatim).
+
+    Zero-copy Arrow kernels: the list<struct> column flattens to its
+    child arrays; doc_id repeats by list length and span_seq comes from
+    offset arithmetic — no per-span Python dict is ever built (this runs
+    over the whole corpus inside the chunks/spans exchange)."""
+    import numpy as np
+
+    spans = batch.column("spans").combine_chunks()
+    if isinstance(spans, pa.ChunkedArray):  # zero-chunk edge case
+        spans = pa.array([], type=spans.type) if spans.num_chunks == 0 \
+            else spans.chunk(0)
+    offsets = np.asarray(spans.offsets)
+    lengths = np.diff(offsets)
+    doc_ids = batch.column("doc_id").combine_chunks()
+    flat = spans.flatten()  # struct<kind, text, media_ref, offset>
+    n = len(flat)
+    # span_seq: 0..len-1 within each document
+    seq = np.arange(n, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    return pa.table({
+        "doc_id": doc_ids.take(pa.array(np.repeat(
+            np.arange(len(batch), dtype=np.int64), lengths))),
+        "span_seq": pa.array(seq.astype(np.int32)),
+        "kind": flat.field("kind"),
+        "text": flat.field("text"),
+        "media_ref": flat.field("media_ref"),
+        "offset": flat.field("offset"),
+    }).cast(SPANS_SCHEMA)

@@ -120,9 +120,13 @@ class MinHashBander:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        # batch signatures: one factorize + segmented min for the whole
+        # batch (bit-identical to per-doc signature())
+        sigs = self.hasher.signatures(
+            [word_shingles(t, self.shingle_n) for t in texts])
         out_key, out_id, out_sig = [], [], []
-        for i, t in zip(ids, texts):
-            sig = self.hasher.signature(word_shingles(t, self.shingle_n))
+        for j, i in enumerate(ids):
+            sig = sigs[j]
             s64 = stable_hash64("\x1f".join(map(str, sig))) - (1 << 63)
             for key in self.hasher.band_keys_from_signature(sig, self.bands):
                 out_key.append(key)

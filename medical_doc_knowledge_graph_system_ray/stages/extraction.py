@@ -294,10 +294,28 @@ def _iter_lines(text: str):
 
 class ExtractorActor:
     """Callable class for map_batches(ExtractorActor, concurrency=N):
-    rules compiled once per actor in __init__, batches in __call__."""
+    rules compiled once per actor in __init__, batches in __call__.
+
+    This remains the documented actor-pool seam for a model-backed
+    extractor (load the model in __init__, set num_gpus on the pool);
+    the deterministic rule extractor itself is also reachable through
+    worker_extractor() for flat-task stages."""
 
     def __init__(self, cfg: PipelineConfig | None = None):
         self.extractor = RuleExtractor()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.extractor.extract_batch(batch)
+
+
+# worker-global compile-once extractor: Ray tasks reuse warm worker
+# processes, so this gives flat tasks the same amortized-setup property
+# as an actor pool (regex/alias tables compiled once per worker, not
+# once per task) without pinning any CPU to a pool
+_WORKER_EXTRACTOR: list[RuleExtractor] = []
+
+
+def worker_extractor() -> RuleExtractor:
+    if not _WORKER_EXTRACTOR:
+        _WORKER_EXTRACTOR.append(RuleExtractor())
+    return _WORKER_EXTRACTOR[0]

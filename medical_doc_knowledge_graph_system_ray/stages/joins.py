@@ -108,4 +108,13 @@ def hash_join(left_ds, right_ds, on: str, num_buckets: int = 32,
     for k in range(B):
         args = [ls[k] for ls in left_splits] + [rs[k] for rs in right_splits]
         futs.append(join_bucket.remote(len(left_splits), *args))
+    # Hold the split handles until every bucket join has RUN (not just been
+    # submitted): dependency resolution happens asynchronously on the core
+    # worker's io thread, and letting this frame's split refs be GC'd while
+    # a join_bucket's inlined-arg bookkeeping is still in flight races
+    # Ray's reference counter (observed as a fatal
+    # "Check failed: submitted_task_ref_count > 0" driver crash).
+    # fetch_local=False: this waits for completion without pulling any
+    # bucket block to the driver.
+    ray.wait(futs, num_returns=len(futs), fetch_local=False)
     return rd.from_arrow_refs(futs)

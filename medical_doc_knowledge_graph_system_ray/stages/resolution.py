@@ -46,10 +46,10 @@ def _norm_form(name: str) -> str:
 
 
 def _blocks_from_band_keys(names: list[str], hasher: MinHasher, bands: int) -> dict[str, list[int]]:
+    sigs = hasher.signatures([char_shingles(_norm_form(n)) for n in names])
     blocks: dict[str, list[int]] = {}
-    for i, n in enumerate(names):
-        form = _norm_form(n)
-        for key in hasher.band_keys(char_shingles(form), bands):
+    for i in range(len(names)):
+        for key in hasher.band_keys_from_signature(sigs[i], bands):
             blocks.setdefault(key, []).append(i)
     return blocks
 
@@ -70,37 +70,128 @@ def _salt_block(members: list[int], max_block: int) -> list[list[int]]:
     return out
 
 
+def _block_pairs(members) -> list[tuple[int, int]]:
+    """Candidate pairs for one block's members — the ONE pair-generation
+    kernel both the driver path and the distributed groupby path call, so
+    they produce identical pair sets by construction. Members are sorted
+    first: the driver path builds blocks in ascending index order, while
+    a distributed groupby delivers group members in arbitrary order, and
+    `_salt_block`'s sub-bucket composition is order-sensitive."""
+    members = sorted(set(members))
+    if len(members) < 2:
+        return []
+    out: list[tuple[int, int]] = []
+    for bucket in _salt_block(members, MAX_BLOCK):
+        for ai in range(len(bucket)):
+            for bi in range(ai + 1, len(bucket)):
+                a, b = bucket[ai], bucket[bi]
+                if a > b:
+                    a, b = b, a
+                if a != b:
+                    out.append((a, b))
+    return out
+
+
+def _band_rows_for_names(names, idxs, hasher: MinHasher, bands: int):
+    """(band_key, idx) rows: the LSH band keys of the token-sorted form
+    PLUS the exact-form key (singleton exact-form groups simply yield no
+    pairs, matching the driver path's len>1 filter)."""
+    forms = [_norm_form(n) for n in names]
+    sigs = hasher.signatures([char_shingles(f) for f in forms])
+    out_k: list[str] = []
+    out_i: list[int] = []
+    for j, i in enumerate(idxs):
+        for key in hasher.band_keys_from_signature(sigs[j], bands):
+            out_k.append(key)
+            out_i.append(i)
+        out_k.append(f"=:{forms[j]}")
+        out_i.append(i)
+    return out_k, out_i
+
+
+def _distributed_fuzzy_pairs(names: list[str], hasher: MinHasher,
+                             bands: int) -> list[tuple[int, int]]:
+    """Open-vocabulary scale path (VERDICT r3 #2): band-key blocking and
+    pair generation as a Dataset map_batches -> groupby(band_key) ->
+    map_groups fan-out, then a distinct-pair groupby — the same shape as
+    minhash_lsh_dedup's candidate stage. Byte-identical to the driver
+    path because both call `_block_pairs` on sorted members."""
+    import pyarrow as pa
+
+    import ray
+    import ray.data as rd
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    tbl = pa.table({"idx": pa.array(range(len(names)), pa.int64()),
+                    "name": pa.array(names, pa.string())})
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ks, is_ = _band_rows_for_names(batch.column("name").to_pylist(),
+                                       batch.column("idx").to_pylist(),
+                                       hasher, bands)
+        return pa.table({"band_key": pa.array(ks, pa.string()),
+                         "idx": pa.array(is_, pa.int64())})
+
+    def group_pairs(group: pa.Table) -> pa.Table:
+        pairs = _block_pairs(group.column("idx").to_pylist())
+        return pa.table({"a": pa.array([p[0] for p in pairs], pa.int64()),
+                         "b": pa.array([p[1] for p in pairs], pa.int64())})
+
+    pair_rows = (
+        rd.from_arrow(tbl)
+        .repartition(max(2 * cpus, 8))
+        .map_batches(band_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(group_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])  # the same pair surfaces from several bands
+        .count()
+        .take_all()
+    )
+    return sorted((r["a"], r["b"]) for r in pair_rows)
+
+
 def fuzzy_candidate_edges(
     names: list[str], cfg: PipelineConfig, threshold: float | None = None
 ) -> list[tuple[str, str]]:
     """Verified fuzzy merge edges (token_sort_ratio >= threshold) from
-    LSH-blocked candidates. Driver-side path (distinct names are small)."""
+    LSH-blocked candidates.
+
+    Candidate generation runs on the driver while the distinct-name count
+    is small (a closed clinical vocabulary), and switches to the
+    distributed groupby(band_key) path above ``DISTRIBUTED_THRESHOLD``
+    (open-vocabulary corpora where distinct surface forms grow with the
+    corpus). The two paths share the block->pair kernel and are
+    property-tested byte-identical (tests/test_resolution_distributed.py).
+    """
     threshold = threshold if threshold is not None else cfg.fuzzy_threshold
     hasher = MinHasher(max(cfg.minhash_perms, 16), seed=7)
     bands = max(cfg.minhash_bands, 8)
 
-    # exact normalized-form blocks (ratio == 100) come free
-    by_form: dict[str, list[int]] = {}
-    for i, n in enumerate(names):
-        by_form.setdefault(_norm_form(n), []).append(i)
+    use_distributed = False
+    if len(names) > DISTRIBUTED_THRESHOLD:
+        try:
+            import ray
 
-    blocks = _blocks_from_band_keys(names, hasher, bands)
-    blocks.update({f"=:{k}": v for k, v in by_form.items() if len(v) > 1})
+            use_distributed = ray.is_initialized()
+        except Exception:
+            use_distributed = False
 
-    seen: set[tuple[int, int]] = set()
+    if use_distributed:
+        pairs = _distributed_fuzzy_pairs(names, hasher, bands)
+    else:
+        # exact normalized-form blocks (ratio == 100) come free
+        by_form: dict[str, list[int]] = {}
+        for i, n in enumerate(names):
+            by_form.setdefault(_norm_form(n), []).append(i)
+
+        blocks = _blocks_from_band_keys(names, hasher, bands)
+        blocks.update({f"=:{k}": v for k, v in by_form.items() if len(v) > 1})
+
+        seen: set[tuple[int, int]] = set()
+        for members in blocks.values():
+            seen.update(_block_pairs(members))
+        pairs = sorted(seen)
     lowered = [n.lower() for n in names]
-    for members in blocks.values():
-        if len(members) < 2:
-            continue
-        for bucket in _salt_block(members, MAX_BLOCK):
-            for ai in range(len(bucket)):
-                for bi in range(ai + 1, len(bucket)):
-                    a, b = bucket[ai], bucket[bi]
-                    if a > b:
-                        a, b = b, a
-                    if a != b:
-                        seen.add((a, b))
-    pairs = sorted(seen)
 
     def verify(chunk: list[tuple[int, int]]) -> list[tuple[str, str]]:
         return [
