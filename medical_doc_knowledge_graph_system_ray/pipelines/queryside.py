@@ -182,10 +182,41 @@ def shortest_path_detailed(out_dir: str, a: str, b: str,
     that (deterministic truncation, documented for hub-heavy graphs)."""
     if a == b:
         return None
-    parents: dict[str, tuple | None] = {a: None}
-    frontier = {a}
+    parents = _bfs_parents_multi(out_dir, a, {b}, max_hops, max_frontier)
+    if b not in parents:
+        return None
+    chain, preds = _chain_from_parents(parents, b)
+    return {
+        "entity_chain": list(reversed(chain)),
+        "relationship_chain": list(reversed(preds)),
+        "hops": len(preds),
+    }
+
+
+def _chain_from_parents(parents: dict, end: str):
+    """Walk `end` up to the BFS source. Returns (nodes, preds) in WALK
+    order (end -> source); callers reverse when they want source->end."""
+    chain, preds = [end], []
+    while parents[chain[-1]] is not None:
+        parent, p = parents[chain[-1]]
+        preds.append(p)
+        chain.append(parent)
+    return chain, preds
+
+
+def _bfs_parents_multi(out_dir: str, src: str, goals: set[str],
+                       max_hops: int, max_frontier: int = 200_000) -> dict:
+    """Distributed BFS parent map from `src` until every goal is reached
+    (or hops/frontier run out) — the iterated-frontier-join core shared
+    by shortest_path_detailed and the truncation fallback in
+    find_paths_from_seeds_multi. Path state is the driver-side parent
+    map (O(visited nodes)); each hop moves only aggregated (target,
+    min-candidate-parent) rows, never a hub's raw edge list."""
+    parents: dict[str, tuple | None] = {src: None}
+    frontier = {src}
+    remaining = set(goals) - {src}
     for _ in range(max_hops):
-        if not frontier:
+        if not frontier or not remaining:
             break
         fr_arr = pa.array(sorted(frontier))
         seen_arr = pa.array(sorted(parents))  # anti-join set, task closure
@@ -237,19 +268,9 @@ def shortest_path_detailed(out_dir: str, a: str, b: str,
             frm, pred = best[to].split("\x1f", 1)
             parents[to] = (frm, pred)
             nxt.add(to)
-        if b in parents:
-            chain, preds = [b], []
-            while parents[chain[-1]] is not None:
-                parent, p = parents[chain[-1]]
-                preds.append(p)
-                chain.append(parent)
-            return {
-                "entity_chain": list(reversed(chain)),
-                "relationship_chain": list(reversed(preds)),
-                "hops": len(preds),
-            }
+        remaining -= nxt
         frontier = nxt
-    return None
+    return parents
 
 
 def shortest_path(out_dir: str, a: str, b: str, max_hops: int = 6) -> list[str] | None:
@@ -279,10 +300,16 @@ def _collect_subgraph_edges(out_dir: str, seed_keys: list[str], hops: int,
     Hub-safe (VERDICT r2 #3): each scan task dedups its batch's edge
     rows, and `limit(max_edges)` bounds what reaches the driver BEFORE
     collection — a hub neighborhood truncates deterministically instead
-    of flooding the driver and capping afterwards."""
+    of flooding the driver and capping afterwards.
+
+    Returns (edges, truncated). `truncated` is a conservative flag: any
+    hop whose capped collection came back full may have dropped edges,
+    and callers needing exact shortest paths must fall back to the
+    distributed BFS (find_paths_from_seeds_multi does)."""
     frontier = set(seed_keys)
     visited = set(seed_keys)
     edges: set[tuple] = set()
+    truncated = False
     pred_arr = pa.array(sorted(predicates)) if predicates is not None else None
     cols = ["subj", "subj_label", "pred", "obj", "obj_label"]
     for _h in range(hops):
@@ -303,6 +330,8 @@ def _collect_subgraph_edges(out_dir: str, seed_keys: list[str], hops: int,
         hop_edges = (_read(out_dir, "triples", columns=cols)
                      .map_batches(touch, batch_format="pyarrow")
                      .limit(max_edges).take_all())
+        if len(hop_edges) >= max_edges:
+            truncated = True
         nxt = set()
         for e in hop_edges:
             tup = (e["subj"], e["subj_label"], e["pred"], e["obj"], e["obj_label"])
@@ -313,7 +342,9 @@ def _collect_subgraph_edges(out_dir: str, seed_keys: list[str], hops: int,
                     nxt.add(node)
         visited |= nxt
         frontier = nxt
-    return sorted(edges)
+    if len(edges) >= max_edges:
+        truncated = True
+    return sorted(edges), truncated
 
 
 def _adjacency(edges) -> dict[str, list[tuple]]:
@@ -391,7 +422,11 @@ def all_paths(out_dir: str, a: str, b: str, max_hops: int = 4,
     (path_reasoning.py:36-48 ALL_PATHS_QUERY)."""
     if a == b:
         return []
-    edges = _collect_subgraph_edges(out_dir, [a], max_hops)
+    # truncation residual (documented): all-paths ENUMERATION has no
+    # distributed fallback — on a truncated hub collection the result is
+    # a deterministic subset; exact shortest paths go through
+    # find_paths_from_seeds_multi's fallback instead
+    edges, _truncated = _collect_subgraph_edges(out_dir, [a], max_hops)
     adj = _adjacency(edges)
     found = _enumerate_paths(adj, a, b, max_hops)
     found.sort(key=lambda t: (len(t[1]), t[0]))
@@ -439,14 +474,48 @@ def _seed_paths_over_adjacency(adj, seeds: list[str], target_key: str,
 
 def find_paths_from_seeds_multi(out_dir: str, seed_keys: list[str],
                                 targets: list[str], max_hops: int = 5,
-                                limit: int = 5) -> dict[str, list[dict]]:
+                                limit: int = 5,
+                                max_edges: int = 200_000) -> dict[str, list[dict]]:
     """Seeds->target shortest paths for SEVERAL targets over ONE subgraph
     collection (the context builder queries <=5 targets per question —
-    re-collecting the 5-hop neighborhood per target cost ~5x)."""
+    re-collecting the 5-hop neighborhood per target cost ~5x).
+
+    Hub fallback (VERDICT r3 #7): when the subgraph collection TRUNCATES
+    (an unbounded-degree seed neighborhood overflowing `max_edges`), the
+    local enumeration can silently lose paths, so the result switches to
+    one distributed BFS per target — BFS FROM the target over the full
+    triples table (undirected), carrying only the parent map as path
+    state, which reaches every seed in a single traversal. Exact hop
+    counts; parent tie-break is the deterministic min-(node, pred), which
+    may pick a different same-length chain than the local enumerator —
+    active only on truncation, where the local chain is unreliable
+    anyway. The fast path (bounded-degree clinical graphs — the
+    documented common case) is unchanged."""
     seeds = sorted(set(seed_keys))
     if not seeds or not targets:
         return {t: [] for t in targets}
-    edges = _collect_subgraph_edges(out_dir, seeds, max_hops)
+    edges, truncated = _collect_subgraph_edges(out_dir, seeds, max_hops,
+                                               max_edges=max_edges)
+    if truncated:
+        out: dict[str, list[dict]] = {}
+        for t in targets:
+            parents = _bfs_parents_multi(out_dir, t, set(seeds), max_hops)
+            rows = []
+            for seed in seeds:
+                if seed == t or seed not in parents:
+                    continue
+                # walk order seed -> target IS the output order (the BFS
+                # ran from the target side)
+                chain, preds = _chain_from_parents(parents, seed)
+                rows.append({
+                    "seed_name": seed,
+                    "entity_chain": chain,
+                    "relationship_chain": preds,
+                    "hops": len(preds),
+                })
+            rows.sort(key=lambda r: (r["hops"], r["seed_name"]))
+            out[t] = rows[:limit]
+        return out
     adj = _adjacency(edges)
     return {t: _seed_paths_over_adjacency(adj, seeds, t, max_hops, limit)
             for t in targets}
@@ -472,8 +541,11 @@ def relationship_constrained_paths(out_dir: str, seed_keys: list[str],
     seeds = sorted(set(seed_keys))
     if not seeds:
         return pa.Table.from_pylist([], schema=_CONSTRAINED_PATH_SCHEMA)
-    edges = _collect_subgraph_edges(out_dir, seeds, max_hops,
-                                    predicates=CLINICAL_PREDICATES)
+    # truncation residual (documented): like all_paths, constrained-path
+    # ENUMERATION over a truncated collection yields a deterministic
+    # subset; the predicate+label filters make hub blowups rare here
+    edges, _truncated = _collect_subgraph_edges(out_dir, seeds, max_hops,
+                                                predicates=CLINICAL_PREDICATES)
     labels: dict[str, str] = {}
     for s, sl, _p, o, ol in edges:
         labels.setdefault(s, sl)

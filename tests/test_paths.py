@@ -156,7 +156,8 @@ def test_hub_safe_subgraph_collection(ray_session, hub_graph):
     from medical_doc_knowledge_graph_system_ray.pipelines.queryside import (
         _collect_subgraph_edges)
 
-    edges = _collect_subgraph_edges(hub_graph, ["hub"], hops=1, max_edges=200)
-    assert len(edges) == 200
-    full = _collect_subgraph_edges(hub_graph, ["hub"], hops=1)
-    assert len(full) == 5002
+    edges, truncated = _collect_subgraph_edges(hub_graph, ["hub"], hops=1,
+                                               max_edges=200)
+    assert len(edges) == 200 and truncated
+    full, full_trunc = _collect_subgraph_edges(hub_graph, ["hub"], hops=1)
+    assert len(full) == 5002 and not full_trunc
