@@ -106,3 +106,19 @@ class FastTokenEmbedder:
             if n > 0:
                 out[i] /= n
         return out
+
+
+def f32_fixed_list(vecs, dim):
+    """(n, dim) float32 matrix -> Arrow FixedSizeList column, zero-copy.
+
+    An extra astype/pa.array copy here costs ~14 s per writer task when 32
+    tasks allocate ~90 MB each simultaneously (measured: concurrent
+    first-touch page faults dominate); from_buffers shares the numpy
+    buffer instead."""
+    import pyarrow as pa
+
+    if vecs.dtype != np.float32 or not vecs.flags.c_contiguous:
+        vecs = np.ascontiguousarray(vecs, dtype=np.float32)
+    flat = pa.Array.from_buffers(pa.float32(), vecs.size,
+                                 [None, pa.py_buffer(vecs)])
+    return pa.FixedSizeListArray.from_arrays(flat, dim)

@@ -52,6 +52,15 @@ from ..stages.chunking import chunk_batch, spans_batch
 from ..stages.resolution import build_name_map, distinct_mention_names
 
 
+def _tlog(name: str, t0: float) -> None:
+    """Append one '<name> <start> <end>' line to $MEDKG_TASKLOG (profiling
+    aid, off by default; workers inherit the driver's env in local mode)."""
+    p = os.environ.get("MEDKG_TASKLOG")
+    if p:
+        with open(p, "a") as f:
+            f.write(f"{name} {t0:.3f} {time.time():.3f}\n")
+
+
 def _shard_expr(shard: int, num_shards: int):
     """Document shard predicate on a stable hash of doc_id (fallback path
     when the input has fewer files than shards). Vectorized (VERDICT r3
@@ -123,6 +132,7 @@ def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
 
     from ..schemas import SPANS_SCHEMA as _SPANS
 
+    _t0 = time.time()
     ext = worker_extractor()
     pred = None if by_files else _shard_expr(shard, num_shards)
     outs: list[pa.Table] = []
@@ -160,6 +170,7 @@ def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
     # The chunk/span slices make this the ONLY corpus read + chunking
     # pass in the pipeline: the chunks/spans writers consume them with no
     # name-map dependency, concurrently with the name-map barrier.
+    _tlog("extract", _t0)
     return (stats, *_bucket_slices(m, "chunk_id", P), t_rows,
             *_bucket_slices(chunks_all, "doc_id", P),
             *_bucket_slices(spans_all, "doc_id", P))
@@ -186,6 +197,7 @@ def _mentions_write_task(bucket: int, name_map_ref_box: list, path: str,
 
     # name_map_ref rides inside a list so Ray does NOT auto-resolve it
     # per task arg; fetch_broadcast then deserializes once per WORKER
+    _t0 = time.time()
     t = _concat_slices(slices)
     m = mat.remap_mentions_batch(t, mat.fetch_broadcast(name_map_ref_box[0]))
     m = mat.mention_finalize_partition(m)
@@ -193,6 +205,7 @@ def _mentions_write_task(bucket: int, name_map_ref_box: list, path: str,
     m = m.select(MENTIONS_SCHEMA_FINAL.names).cast(MENTIONS_SCHEMA_FINAL)
     row = write_table_partition(m, path, bucket, ["order_key"])
     cands = mat.entity_candidates_from_mentions_batch(m)
+    _tlog("mentions_w", _t0)
     return (row, *_bucket_slices(cands, "key", n_ent_buckets))
 
 
@@ -206,9 +219,11 @@ def _triples_remap_task(name_map_ref_box: list, P: int, t_rows: pa.Table):
     partition-local reduce)."""
     from ..stages import materialize as mat
 
+    _t0 = time.time()
     tr = mat.remap_triples_batch(t_rows, mat.fetch_broadcast(name_map_ref_box[0]),
                                  None)
     out = _bucket_slices(tr, "subj", P)
+    _tlog("triples_remap", _t0)
     return tuple(out) if P > 1 else out[0]
 
 
@@ -221,9 +236,12 @@ def _triples_raw_write_task(bucket: int, path: str,
     from ..sources.io import write_table_partition
     from ..stages import materialize as mat
 
+    _t0 = time.time()
     t = _concat_slices(slices)
     tr = mat.triple_finalize_partition(t)
-    return write_table_partition(tr, path, bucket, ["subj", "pred", "obj"])
+    row = write_table_partition(tr, path, bucket, ["subj", "pred", "obj"])
+    _tlog("triplesraw_w", _t0)
+    return row
 
 
 def _embed_chunks_table(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
@@ -232,16 +250,15 @@ def _embed_chunks_table(t: pa.Table, cfg: PipelineConfig) -> pa.Table:
     vectors never ride any exchange."""
     import numpy as np
 
-    from ..functions.embedder import make_embedder
+    from ..functions.embedder import f32_fixed_list, make_embedder
     from ..stages import materialize as _m
 
     emb = _m._BCAST.setdefault(
         f"__embedder_{cfg.chunk_embedder}_{cfg.embedding_dim}",
         make_embedder(cfg.chunk_embedder, cfg.embedding_dim))
     vecs = emb.embed_batch(t.column("text").to_pylist())
-    arr = pa.FixedSizeListArray.from_arrays(
-        pa.array(vecs.astype(np.float32).ravel()), cfg.embedding_dim)
-    return t.append_column("embedding", arr)
+    return t.append_column("embedding",
+                           f32_fixed_list(vecs, cfg.embedding_dim))
 
 
 @ray.remote
@@ -249,11 +266,15 @@ def _chunks_write_task(bucket: int, path: str, cfg: PipelineConfig,
                        schema, *slices: pa.Table) -> dict:
     from ..sources.io import write_table_partition
 
+    _t0 = time.time()
     t = _concat_slices(slices)
     if cfg.embed_chunks:
         t = _embed_chunks_table(t, cfg)
+        _tlog("chunks_embed", _t0)
     t = t.select(schema.names).cast(schema)
-    return write_table_partition(t, path, bucket, ["doc_id", "seq"])
+    row = write_table_partition(t, path, bucket, ["doc_id", "seq"])
+    _tlog("chunks_w", _t0)
+    return row
 
 
 @ray.remote
@@ -261,9 +282,12 @@ def _spans_write_task(bucket: int, path: str, schema,
                       *slices: pa.Table) -> dict:
     from ..sources.io import write_table_partition
 
+    _t0 = time.time()
     t = _concat_slices(slices)
     t = t.select(schema.names).cast(schema)
-    return write_table_partition(t, path, bucket, ["doc_id", "span_seq"])
+    row = write_table_partition(t, path, bucket, ["doc_id", "span_seq"])
+    _tlog("spans_w", _t0)
+    return row
 
 
 @ray.remote
@@ -273,11 +297,14 @@ def _entities_write_task(bucket: int, path: str, *slices: pa.Table) -> dict:
     from ..sources.io import write_table_partition
     from ..stages import materialize as mat
 
+    _t0 = time.time()
     t = _concat_slices(slices)
     t = mat.entity_finalize_partition(t)
     t = _props_json_to_map(t)
     t = t.select(ENTITIES_SCHEMA_FINAL.names).cast(ENTITIES_SCHEMA_FINAL)
-    return write_table_partition(t, path, bucket, ["label", "key"])
+    row = write_table_partition(t, path, bucket, ["label", "key"])
+    _tlog("entities_w", _t0)
+    return row
 
 
 def _list_parquet_files(path: str) -> list[str]:
@@ -630,10 +657,8 @@ class IngestPipeline:
                             f"__embedder_{cfg.chunk_embedder}_{cfg.embedding_dim}",
                             make_embedder(cfg.chunk_embedder, cfg.embedding_dim))
                         vecs = emb.embed_batch(t.column("text").to_pylist())
-                        arr = pa.FixedSizeListArray.from_arrays(
-                            pa.array(vecs.astype(np.float32).ravel()),
-                            cfg.embedding_dim)
-                        return t.append_column("embedding", arr)
+                        return t.append_column(
+                            "embedding", f32_fixed_list(vecs, cfg.embedding_dim))
 
                     chunks_schema = CHUNKS_SCHEMA.append(
                         pa.field("embedding",

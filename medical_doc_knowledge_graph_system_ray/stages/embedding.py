@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import PipelineConfig
-from ..functions.embedder import make_embedder
+from ..functions.embedder import f32_fixed_list, make_embedder
 
 
 class ChunkEmbedder:
@@ -25,9 +25,7 @@ class ChunkEmbedder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = self.embedder.embed_batch(batch.column(self.text_col).to_pylist())
-        arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(vecs.astype(np.float32).ravel()), self.dim
-        )
+        arr = f32_fixed_list(vecs, self.dim)
         if "embedding" in batch.column_names:
             batch = batch.drop_columns(["embedding"])
         return batch.append_column("embedding", arr)
