@@ -199,8 +199,13 @@ def _mentions_write_task(bucket: int, name_map_ref_box: list, path: str,
     # per task arg; fetch_broadcast then deserializes once per WORKER
     _t0 = time.time()
     t = _concat_slices(slices)
+    # remap_mentions_batch dedups (chunk, canonical, label) with the same
+    # max-conf/min-order rule as mention_finalize_partition; here its
+    # input is the WHOLE partition in one table, so the batch-local dedup
+    # is already partition-global and the finalize pass would be a no-op
+    # re-sort (the fallback exchange path still needs it: its row_fn sees
+    # partial blocks)
     m = mat.remap_mentions_batch(t, mat.fetch_broadcast(name_map_ref_box[0]))
-    m = mat.mention_finalize_partition(m)
     m = _props_json_to_map(m)
     m = m.select(MENTIONS_SCHEMA_FINAL.names).cast(MENTIONS_SCHEMA_FINAL)
     row = write_table_partition(m, path, bucket, ["order_key"])
@@ -291,9 +296,14 @@ def _spans_write_task(bucket: int, path: str, schema,
 
 
 @ray.remote
-def _entities_write_task(bucket: int, path: str, *slices: pa.Table) -> dict:
+def _entities_write_task(bucket: int, path: str, *slices: pa.Table):
     """Entities writer fed by mentions-writer candidate slices:
-    first-writer-wins reduce + JSON->map + sorted zstd write."""
+    first-writer-wins reduce + JSON->map + sorted zstd write.
+
+    Returns (row, keys, label_hist): `keys` is this partition's
+    'label\\x1fkey' array — the final-triples writers union the P arrays
+    into the dangling semi-join's value set without any disk re-read —
+    and `label_hist` feeds the run summary (G6) the same way."""
     from ..sources.io import write_table_partition
     from ..stages import materialize as mat
 
@@ -303,7 +313,42 @@ def _entities_write_task(bucket: int, path: str, *slices: pa.Table) -> dict:
     t = _props_json_to_map(t)
     t = t.select(ENTITIES_SCHEMA_FINAL.names).cast(ENTITIES_SCHEMA_FINAL)
     row = write_table_partition(t, path, bucket, ["label", "key"])
+    keys = pc.binary_join_element_wise(t.column("label").combine_chunks(),
+                                       t.column("key").combine_chunks(), "\x1f")
+    hist = {d["values"]: d["counts"]
+            for d in pc.value_counts(t.column("label")).to_pylist()}
     _tlog("entities_w", _t0)
+    return row, keys, hist
+
+
+@ray.remote
+def _triples_final_write_task(bucket: int, path: str, n_keys: int,
+                              *args) -> dict:
+    """Final triples writer (Phase C fused into the DAG, exact mode):
+    consumes the SAME remap-task bucket slices as the triples_raw writer
+    plus the P entity-key arrays from the entities writers — the dangling
+    semi-join (J2) runs against their union with no triples_raw or
+    entities disk re-read. Byte-compatible with the disk path: filter
+    then (s,p,o) reduce then sorted zstd write."""
+    from ..sources.io import write_table_partition
+    from ..stages import materialize as mat
+
+    _t0 = time.time()
+    key_arrs, slices = args[:n_keys], args[n_keys:]
+    keys = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                             else a for a in key_arrs])
+    t = _concat_slices(slices)
+    if t.num_rows:
+        skey = pc.binary_join_element_wise(t.column("subj_label").combine_chunks(),
+                                           t.column("subj").combine_chunks(), "\x1f")
+        okey = pc.binary_join_element_wise(t.column("obj_label").combine_chunks(),
+                                           t.column("obj").combine_chunks(), "\x1f")
+        t = t.filter(pc.and_(pc.is_in(skey, value_set=keys),
+                             pc.is_in(okey, value_set=keys)))
+    tr = mat.triple_finalize_partition(t)
+    tr = tr.select(TRIPLES_SCHEMA.names).cast(TRIPLES_SCHEMA)
+    row = write_table_partition(tr, path, bucket, ["subj", "pred", "obj"])
+    _tlog("triples_final", _t0)
     return row
 
 
@@ -358,9 +403,11 @@ class IngestPipeline:
             cluster_cpus = 4
         import shutil
 
-        # ~2 tasks per core across the wave: enough slack for balance
-        # without drowning the scheduler in tiny tasks
-        per_shard_tasks = max(1, (2 * cluster_cpus) // max(len(pending), 1))
+        # ~4 tasks per core across the wave: the wave ends at the slowest
+        # task, and with only 2/core the straggler cost ~4 s of a ~11 s
+        # ideal wave at 32 CPUs (measured); 4/core keeps the last wave
+        # slice fine-grained without drowning the scheduler
+        per_shard_tasks = max(1, (4 * cluster_cpus) // max(len(pending), 1))
         t_wave = time.time()
         shard_futs: dict[int, list] = {}
         shard_tmp: dict[int, str] = {}
@@ -695,15 +742,80 @@ class IngestPipeline:
                 })
 
         slices = self.run_extraction()
+        if slices is None:
+            # fallback (resume, or tables disabled selectively): the
+            # standalone chunks/spans exchange on a side thread
+            side(chunks_spans_stage)
 
-        # chunks/spans: fast path consumes the extraction tasks' bucket
-        # slices (single corpus read + single chunking pass, no name-map
-        # dependency — the writers run concurrently with the name-map
-        # barrier and Phase A). Fallback (resume, or tables disabled
-        # selectively): the original standalone exchange on a side thread.
+        name_map = self.build_name_map()
+        name_map_ref = ray.put(name_map)
+        P = cfg.num_output_partitions
+
+        # Fast path (fresh run): the whole post-extraction pipeline is ONE
+        # task DAG chained through the object store with a single driver
+        # barrier at the end —
+        #   extraction slices -> mentions writers -> entities writers
+        #                     \-> triples remap -> triples_raw writers
+        #   entities keys + remap slices -> FINAL triples writers (the
+        #   dangling semi-join consumes the entity-key arrays directly; no
+        #   triples_raw or entities disk re-read)
+        # and the chunks/spans writers launch LAST so Ray's FIFO queue
+        # keeps the mentions->entities->triples critical path ahead of the
+        # (latency-insensitive) chunk embed/write work.
+        # The fused final-triples write covers the default 'exact' filter
+        # mode; 'bloom'/'bucketed' (beyond-driver-memory scale modes) keep
+        # the staged Phase C below, as do all partial-resume states.
+        dag = (slices is not None
+               and cfg.entity_filter_mode == "exact"
+               and not any(self.manifest.is_committed(u) for u in
+                           ("mentions", "triples_raw", "entities", "triples")))
         cs_futs: dict[str, list] = {}
         cs_t0 = time.time()
+        dag_t0 = time.time()
+        dag_futs: dict[str, list] = {}
+        if dag:
+            m_futs = [
+                _mentions_write_task.options(num_returns=1 + P).remote(
+                    k, [name_map_ref], os.path.join(self.out, "mentions"), P,
+                    *[ts[k] for ts in slices["mentions"]])
+                for k in range(P)
+            ]
+            r_futs = [
+                _triples_remap_task.options(num_returns=P).remote(
+                    [name_map_ref], P, ts)
+                for ts in slices["triples"]
+            ]
+            if P == 1:
+                r_futs = [[r] for r in r_futs]
+            t_futs = [
+                _triples_raw_write_task.remote(
+                    k, os.path.join(self.out, "triples_raw"),
+                    *[rf[k] for rf in r_futs])
+                for k in range(P)
+            ]
+            ent_slices_dag = [f[1:] for f in m_futs]
+            e_futs = [
+                _entities_write_task.options(num_returns=3).remote(
+                    k, os.path.join(self.out, "entities"),
+                    *[es[k] for es in ent_slices_dag])
+                for k in range(P)
+            ]
+            key_refs = [e[1] for e in e_futs]
+            f_futs = [
+                _triples_final_write_task.remote(
+                    k, os.path.join(self.out, "triples"), len(key_refs),
+                    *key_refs, *[rf[k] for rf in r_futs])
+                for k in range(P)
+            ]
+            dag_futs = {"mentions": [f[0] for f in m_futs],
+                        "triples_raw": t_futs,
+                        "entities": [e[0] for e in e_futs],
+                        "triples": f_futs}
+
         if slices is not None:
+            # chunks/spans writers consume the extraction tasks' bucket
+            # slices (single corpus read + single chunking pass, no
+            # name-map dependency)
             if with_chunks_table and not self.manifest.is_committed("chunks"):
                 chunks_schema = (CHUNKS_SCHEMA.append(
                     pa.field("embedding",
@@ -722,12 +834,31 @@ class IngestPipeline:
                         *[ts[k] for ts in slices["spans"]])
                     for k in range(cfg.num_output_partitions)
                 ]
-        else:
-            side(chunks_spans_stage)
 
-        name_map = self.build_name_map()
-        name_map_ref = ray.put(name_map)
-        P = cfg.num_output_partitions
+        dag_stats: dict | None = None
+        if dag:
+            # single barrier: commit each unit as its writer rows land
+            # (dependency order, so a crash resumes from the last complete
+            # table exactly like the staged path)
+            hists = ray.get([e[2] for e in e_futs])
+            for name in ("mentions", "triples_raw", "entities", "triples"):
+                rows = sorted(ray.get(dag_futs[name]),
+                              key=lambda r: r["partition"])
+                self.manifest.commit(name, {
+                    "stage": name, "partitions": rows,
+                    "rows": sum(r["rows"] for r in rows),
+                    "seconds": round(time.time() - dag_t0, 3),
+                })
+            by_label: dict[str, int] = {}
+            for h in hists:
+                for label, n in h.items():
+                    by_label[label] = by_label.get(label, 0) + n
+            dag_stats = {
+                "entities": sum(by_label.values()),
+                "triples": self.manifest.read("triples")["rows"],
+                "entities_by_label": dict(
+                    sorted(by_label.items(), key=lambda kv: -kv[1])),
+            }
 
         # Phase A — extraction feeds BOTH heavy outputs:
         #   mentions table (remap + partition-global dedup, bucketed by
@@ -809,11 +940,12 @@ class IngestPipeline:
             if ent_slices is not None:
                 e_dir = os.path.join(self.out, "entities")
                 e_futs = [
-                    _entities_write_task.remote(
+                    _entities_write_task.options(num_returns=3).remote(
                         k, e_dir, *[es[k] for es in ent_slices])
                     for k in range(P)
                 ]
-                rows = sorted(ray.get(e_futs), key=lambda r: r["partition"])
+                rows = sorted(ray.get([f[0] for f in e_futs]),
+                              key=lambda r: r["partition"])
             else:
                 results = write_partitioned_multi(
                     {"files": _list_parquet_files(os.path.join(self.out, "mentions")),
@@ -888,7 +1020,7 @@ class IngestPipeline:
         if side_errors:
             raise side_errors[0]
 
-        stats = self.graph_stats()
+        stats = dag_stats if dag_stats is not None else self.graph_stats()
         summary = {
             "status": "ok",
             "seconds": round(time.time() - t_start, 3),

@@ -34,9 +34,46 @@ from ..schemas import props_to_json
 # ── remap + mention dedup ──────────────────────────────────────────────
 
 
+def _map_dict_col(col, mapping: dict[str, str]) -> pa.Array:
+    """mapping.get(v, v) over a string column via dictionary encoding:
+    the Python dict lookup runs once per DISTINCT value, then a take
+    expands — no per-row Python objects (the pandas .map this replaced
+    boxed every row and was the memory-traffic hot spot of the Phase-A
+    writers under 32-way concurrency)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    enc = col.dictionary_encode()
+    dict_vals = enc.dictionary.to_pylist()
+    mapped = pa.array([mapping.get(v, v) for v in dict_vals], pa.string())
+    return mapped.take(enc.indices)
+
+
+def _first_per_group(t: pa.Table, key_cols: list[str]) -> pa.Table:
+    """Keep the first row of each key group, preserving t's row order
+    among the kept rows. Pure Arrow/numpy: dictionary codes are combined
+    into one int64 group code and np.unique picks first occurrences."""
+    import numpy as np
+
+    code = np.zeros(t.num_rows, dtype=np.int64)
+    n_codes = 1
+    for c in key_cols:
+        enc = t.column(c).combine_chunks().dictionary_encode()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        card = len(enc.dictionary) + 1
+        if n_codes * card > 2**62:  # compact before the combine overflows
+            uniq, code = np.unique(code, return_inverse=True)
+            n_codes = len(uniq)
+        code = code * card + idx
+        n_codes *= card
+    _, first = np.unique(code, return_index=True)
+    first.sort()
+    return t.take(pa.array(first))
+
+
 def remap_mentions_batch(batch: pa.Table, name_map: dict[str, str]) -> pa.Table:
     """kind=='m' rows -> mention rows with canonical_name; chunk-local
-    (canonical, label) max-confidence dedup. Vectorized (pandas kernels).
+    (canonical, label) max-confidence dedup. Vectorized (Arrow/numpy
+    kernels — no pandas object boxing in this Phase-A hot path).
 
     Chunk-locality: extraction emits each chunk's rows contiguously and no
     shuffle sits between extraction and this stage, so a batch never holds
@@ -46,32 +83,33 @@ def remap_mentions_batch(batch: pa.Table, name_map: dict[str, str]) -> pa.Table:
          if "kind" in batch.column_names else batch)
     if m.num_rows == 0:
         return pa.Table.from_pylist([], schema=_MENTION_FLAT_SCHEMA)
-    df = m.select(["chunk_id", "doc_id", "name", "label", "confidence",
-                   "method", "props", "order_key"]).to_pandas()
-    canon = df["name"].map(name_map)
-    df["canonical_name"] = canon.where(canon.notna(), df["name"])
+    if isinstance(m, pa.Table) and m.column("confidence").type != pa.float32():
+        m = m.set_column(m.column_names.index("confidence"),
+                         pa.field("confidence", pa.float32()),
+                         m.column("confidence").cast(pa.float32()))
+    canon = _map_dict_col(m.column("name"), name_map)
+    t = pa.table({
+        "mention_id": pc.binary_join_element_wise(
+            m.column("chunk_id").combine_chunks(),
+            m.column("order_key").combine_chunks(), "#"),
+        "chunk_id": m.column("chunk_id"),
+        "doc_id": m.column("doc_id"),
+        "name": m.column("name"),
+        "canonical_name": canon,
+        "label": m.column("label"),
+        "confidence": m.column("confidence"),
+        "extraction_method": m.column("method"),
+        "properties": m.column("props"),
+        "order_key": m.column("order_key"),
+    })
     # max confidence per (chunk, canonical, label); ties -> first in order
-    # (reference: strictly-greater replaces, entity_resolver.py:76)
-    df = df.sort_values(["confidence", "order_key"], ascending=[False, True],
-                        kind="stable")
-    df = df.drop_duplicates(subset=["chunk_id", "canonical_name", "label"],
-                            keep="first").sort_values("order_key", kind="stable")
-    df["mention_id"] = df["chunk_id"] + "#" + df["order_key"]
-    out = pa.table(
-        {
-            "mention_id": pa.array(df["mention_id"], type=pa.string()),
-            "chunk_id": pa.array(df["chunk_id"], type=pa.string()),
-            "doc_id": pa.array(df["doc_id"], type=pa.string()),
-            "name": pa.array(df["name"], type=pa.string()),
-            "canonical_name": pa.array(df["canonical_name"], type=pa.string()),
-            "label": pa.array(df["label"], type=pa.string()),
-            "confidence": pa.array(df["confidence"], type=pa.float32()),
-            "extraction_method": pa.array(df["method"], type=pa.string()),
-            "properties": pa.array(df["props"], type=pa.string()),
-            "order_key": pa.array(df["order_key"], type=pa.string()),
-        }
-    )
-    return out
+    # (reference: strictly-greater replaces, entity_resolver.py:76):
+    # sort by (confidence desc, order_key asc), keep first per group,
+    # return in order_key order (order_key is unique per row)
+    t = t.take(pc.sort_indices(
+        t, sort_keys=[("confidence", "descending"), ("order_key", "ascending")]))
+    t = _first_per_group(t, ["chunk_id", "canonical_name", "label"])
+    return t.take(pc.sort_indices(t.column("order_key")))
 
 
 _MENTION_FLAT_SCHEMA = pa.schema(
@@ -118,48 +156,45 @@ def project_entity_props(label: str, canonical: str, props: dict) -> tuple[str, 
 
 def entity_candidates_from_mentions_batch(batch: pa.Table) -> pa.Table:
     """Entity candidates from the materialized mentions table (map-typed
-    properties). Key fields are
-    pulled from the map column with the vectorized map_lookup kernel, and
-    only per-batch winner rows pay the map->dict conversion."""
-    props_col = batch.column("properties")
-    vals = pc.map_lookup(props_col, query_key="value", occurrence="first")
-    pnums = pc.map_lookup(props_col, query_key="patient_number", occurrence="first")
-    df = batch.select(["canonical_name", "label", "order_key",
-                       "extraction_method"]).to_pandas()
-    df["__value"] = vals.to_pandas().map(
-        lambda v: v[0] if isinstance(v, list) and v else (v if isinstance(v, str) else None)
-    )
-    df["__pnum"] = pnums.to_pandas().map(
-        lambda v: v[0] if isinstance(v, list) and v else (v if isinstance(v, str) else None)
-    )
-    df["__props"] = props_col.to_pandas()
-    df = df[~((df["label"] == "Patient") &
-              (df["extraction_method"] != "structured_json"))]
-    if df.empty:
+    properties). Arrow-native: key fields come from the vectorized
+    map_lookup kernel, the (label, key) first-writer dedup runs before
+    anything is boxed, and only the WINNER rows (one per distinct entity)
+    pay the map->dict conversion for the property projection."""
+    label = batch.column("label").combine_chunks()
+    keep = pc.invert(pc.and_(
+        pc.equal(label, "Patient"),
+        pc.not_equal(batch.column("extraction_method").combine_chunks(),
+                     "structured_json")))
+    b = batch.filter(keep)
+    if b.num_rows == 0:
         return pa.Table.from_pylist([], schema=_ENTITY_CAND_SCHEMA)
-
-    key = df["canonical_name"].copy()
-    vital = df["label"] == "Vital"
-    if vital.any():
-        key.loc[vital] = (df.loc[vital, "canonical_name"] + "_" +
-                          df.loc[vital, "__value"].fillna(""))
-    pat = df["label"] == "Patient"
-    if pat.any():
-        pn = df.loc[pat, "__pnum"]
-        key.loc[pat] = pn.where(pn.notna(), df.loc[pat, "canonical_name"])
-    df["key"] = key
-    df = df.sort_values("order_key", kind="stable").drop_duplicates(
-        subset=["label", "key"], keep="first"
-    )
+    label = b.column("label").combine_chunks()
+    canon = b.column("canonical_name").combine_chunks()
+    props_col = b.column("properties").combine_chunks()
+    vals = pc.map_lookup(props_col, query_key="value", occurrence="first")
+    pnums = pc.map_lookup(props_col, query_key="patient_number",
+                          occurrence="first")
+    # Vital key = "{canonical}_{value}" (graph_writer.py:237), Patient key
+    # = patient_number (schema_setup.py:18-28), everything else = canonical
+    vital_key = pc.binary_join_element_wise(canon, pc.fill_null(vals, ""), "_")
+    key = pc.if_else(pc.equal(label, "Vital"), vital_key, canon)
+    key = pc.if_else(pc.equal(label, "Patient"), pc.coalesce(pnums, canon), key)
+    t = pa.table({"label": label, "key": key, "canonical_name": canon,
+                  "properties": props_col,
+                  "order_key": b.column("order_key")})
+    t = t.take(pc.sort_indices(t.column("order_key")))
+    t = _first_per_group(t, ["label", "key"])
     projected = [
         props_to_json(project_entity_props(l, c, dict(p) if p is not None else {})[1])
-        for l, c, p in zip(df["label"], df["canonical_name"], df["__props"])
+        for l, c, p in zip(t.column("label").to_pylist(),
+                           t.column("canonical_name").to_pylist(),
+                           t.column("properties").to_pylist())
     ]
     return pa.table({
-        "label": pa.array(df["label"], type=pa.string()),
-        "key": pa.array(df["key"], type=pa.string()),
+        "label": t.column("label"),
+        "key": t.column("key"),
         "properties": pa.array(projected, type=pa.string()),
-        "order_key": pa.array(df["order_key"], type=pa.string()),
+        "order_key": t.column("order_key"),
     })
 
 
@@ -248,31 +283,51 @@ def remap_triples_batch(
     t = batch.filter(pc.equal(batch.column("kind"), "t"))
     if t.num_rows == 0:
         return pa.Table.from_pylist([], schema=_TRIPLE_FLAT_SCHEMA)
-    df = t.select(["subj", "subj_label", "pred", "obj", "obj_label",
-                   "confidence", "props", "chunk_id"]).to_pandas()
-
-    is_pat_s = df["subj_label"] == "Patient"
-    mapped_s = df["subj"].map(name_map)
-    df["subj"] = df["subj"].where(is_pat_s, mapped_s.where(mapped_s.notna(), df["subj"]))
-    is_pat_o = df["obj_label"] == "Patient"
-    mapped_o = df["obj"].map(name_map)
-    df["obj"] = df["obj"].where(is_pat_o, mapped_o.where(mapped_o.notna(), df["obj"]))
+    subj_label = t.column("subj_label").combine_chunks()
+    obj_label = t.column("obj_label").combine_chunks()
+    # Patient endpoints keep their surface form; everything else maps
+    # through the canonical name map (entity_resolver.py:146-165)
+    subj = pc.if_else(pc.equal(subj_label, "Patient"),
+                      t.column("subj").combine_chunks(),
+                      _map_dict_col(t.column("subj"), name_map))
+    obj = pc.if_else(pc.equal(obj_label, "Patient"),
+                     t.column("obj").combine_chunks(),
+                     _map_dict_col(t.column("obj"), name_map))
 
     # vital_id = "{canonical}_{value}" from the relationship props
     # (graph_writer.py:270); only Vital rows pay the JSON parse
-    vital = df["obj_label"] == "Vital"
-    if vital.any():
-        vals = df.loc[vital, "props"].map(
-            lambda p: (json.loads(p).get("value", "") if p else "")
-        )
-        df.loc[vital, "obj"] = df.loc[vital, "obj"] + "_" + vals
+    vital = pc.equal(obj_label, "Vital")
+    if pc.any(vital).as_py():
+        import numpy as np
 
+        vidx = np.nonzero(vital.to_numpy(zero_copy_only=False))[0]
+        vprops = t.column("props").take(pa.array(vidx)).to_pylist()
+        suffix = np.full(t.num_rows, "", dtype=object)
+        suffix[vidx] = ["_" + (json.loads(p).get("value", "") if p else "")
+                        for p in vprops]
+        obj = pc.binary_join_element_wise(
+            obj, pa.array(suffix, type=pa.string()), "")
+
+    tt = pa.table({
+        "subj": subj,
+        "subj_label": subj_label,
+        "pred": t.column("pred"),
+        "obj": obj,
+        "obj_label": obj_label,
+        "confidence": t.column("confidence").cast(pa.float32()),
+        "chunk_id": t.column("chunk_id"),
+    })
     if entity_keys is not None:
         # dangling-endpoint semi-join against the broadcast entity key set (J2)
-        skey = df["subj_label"] + "\x1f" + df["subj"]
-        okey = df["obj_label"] + "\x1f" + df["obj"]
-        df = df[skey.isin(entity_keys) & okey.isin(entity_keys)]
-    if df.empty:
+        skey = pc.binary_join_element_wise(tt.column("subj_label").combine_chunks(),
+                                           tt.column("subj").combine_chunks(), "\x1f")
+        okey = pc.binary_join_element_wise(tt.column("obj_label").combine_chunks(),
+                                           tt.column("obj").combine_chunks(), "\x1f")
+        keys_arr = pa.array(sorted(entity_keys)) if not isinstance(
+            entity_keys, pa.Array) else entity_keys
+        tt = tt.filter(pc.and_(pc.is_in(skey, value_set=keys_arr),
+                               pc.is_in(okey, value_set=keys_arr)))
+    if tt.num_rows == 0:
         return pa.Table.from_pylist([], schema=_TRIPLE_FLAT_SCHEMA)
 
     # per-batch partial (subj, pred, obj) reduce: max conf, min witness
@@ -282,15 +337,6 @@ def remap_triples_batch(
     # the exchange's critical path). Extraction never emits null
     # endpoint/pred values, so pandas' drop-NaN-keys behavior and
     # Arrow's keep-null-groups behavior coincide here.
-    tt = pa.table({
-        "subj": pa.array(df["subj"], type=pa.string()),
-        "subj_label": pa.array(df["subj_label"], type=pa.string()),
-        "pred": pa.array(df["pred"], type=pa.string()),
-        "obj": pa.array(df["obj"], type=pa.string()),
-        "obj_label": pa.array(df["obj_label"], type=pa.string()),
-        "confidence": pa.array(df["confidence"], type=pa.float32()),
-        "chunk_id": pa.array(df["chunk_id"], type=pa.string()),
-    })
     agg = tt.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
         [("subj_label", "first"), ("obj_label", "first"),
          ("confidence", "max"), ("chunk_id", "min")])
