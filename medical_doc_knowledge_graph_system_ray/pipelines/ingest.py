@@ -138,8 +138,15 @@ def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
     outs: list[pa.Table] = []
     chunk_tabs: list[pa.Table] = []
     span_tabs: list[pa.Table] = []
-    for fp in files:
+    for unit in files:
+        # unit = path, or (path, row_offset, row_count) when the wave has
+        # more task slots than input files (sub-file range splitting keeps
+        # the wave's last slice fine-grained; a range task still reads
+        # only its one file)
+        fp, off, cnt = unit if isinstance(unit, tuple) else (unit, 0, -1)
         t = pq.read_table(fp)
+        if cnt != -1 or off:
+            t = t.slice(off, t.num_rows - off if cnt == -1 else cnt)
         if pred is not None:
             t = pred(t)
         span_tabs.append(spans_batch(t))
@@ -433,8 +440,22 @@ class IngestPipeline:
             shard_tmp[shard] = tmp_dir
             if by_files:
                 shard_files = files[shard :: cfg.num_shards]
-                n_tasks = min(len(shard_files), per_shard_tasks)
-                groups = [shard_files[i::n_tasks] for i in range(n_tasks)]
+                if len(shard_files) >= per_shard_tasks:
+                    n_tasks = per_shard_tasks
+                    groups = [shard_files[i::n_tasks] for i in range(n_tasks)]
+                else:
+                    # fewer files than task slots: split each file into
+                    # equal row ranges (footer-only row counts) so the
+                    # wave still ends on a fine-grained last slice
+                    k = -(-per_shard_tasks // len(shard_files))
+                    groups = []
+                    for fp in shard_files:
+                        nrows = pq.read_metadata(fp).num_rows
+                        step = -(-nrows // k) if nrows else 1
+                        offs = list(range(0, max(nrows, 1), step))
+                        groups.extend(
+                            [(fp, o, step if o + step < nrows else -1)]
+                            for o in offs)
             else:
                 # hash mode (input has < num_shards files): every task
                 # scans all files and filters its rows — tiny inputs only
