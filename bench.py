@@ -10,8 +10,10 @@ over the synthesized interleaved corpus sized for $GRAFT_SF_DIR. Corpus
 synthesis is input preparation and is cached/untimed; one untimed
 warm-up read precedes timing so the page cache is hot.
 
---scaling: runs the same job in two fresh processes at RAY_GRAFT_CPUS=8
-and =32 on the SAME corpus and reports throughput at both plus
+--scaling: runs the same job in two fresh processes at the two CPU
+levels in $GRAFT_SCALING_LEVELS (default "8,32"; "4,16" and "2,8" are
+the below-saturation N-vs-4N pairs — see BASELINE.md) on the SAME
+corpus and reports throughput at both plus
   eff = (T_small / T_large) / (cpus_large / cpus_small)
 (the in-sandbox stand-in for the N vs 4N node criterion — BASELINE.md).
 """
@@ -123,10 +125,14 @@ def run_scaling() -> dict:
 
     # best-of-n with INTERLEAVED levels: wall clock on this shared node
     # varies ±20-40% with co-tenant load, and a load spike during one
-    # level's whole block would bias the ratio — alternating 8/32 runs
+    # level's whole block would bias the ratio — alternating lo/hi runs
     # makes both levels sample the same load windows; the per-level
     # minimum measures the pipeline, not the noise.
-    lo_cpus, hi_cpus = 8, 32
+    # GRAFT_SCALING_LEVELS picks the N-and-4N pair (default "8,32"; the
+    # secondary evidence pair "4,16" keeps the 4N leg below this shared
+    # box's memory-bandwidth saturation point — BASELINE.md records both).
+    lo_cpus, hi_cpus = (int(x) for x in os.environ.get(
+        "GRAFT_SCALING_LEVELS", "8,32").split(","))
     n = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
     lo_runs, hi_runs = [], []
     for _ in range(n):
@@ -139,12 +145,14 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],
-        "sec_32": hi["value"],
+        "sec_8": lo["value"],     # key names are historical: lo-level wall
+        "sec_32": hi["value"],    # hi-level wall (see cpu_levels)
         "triples_per_sec_8": lo["triples_per_sec"],
         "triples_per_sec_32": hi["triples_per_sec"],
         "sf": lo["sf"],
-        "queries": {"kg_e2e_8cpu": lo["value"], "kg_e2e_32cpu": hi["value"]},
+        "queries": {f"kg_e2e_{lo_cpus}cpu": lo["value"],
+                    f"kg_e2e_{hi_cpus}cpu": hi["value"]},
+        "cpu_levels": [lo_cpus, hi_cpus],
         "num_cpus": hi_cpus,
         # methodology, surfaced so consumers can interpret the figures
         # (ADVICE r1): best-of-n fresh processes per CPU level on the same
