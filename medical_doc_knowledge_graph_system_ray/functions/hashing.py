@@ -60,18 +60,34 @@ class MinHasher:
         return vals.min(axis=1)
 
     def signatures(self, shingle_lists: list[list[str]],
-                   chunk: int = 8192) -> np.ndarray:
+                   max_tile_shingles: int = 131_072) -> np.ndarray:
         """(n, num_perms) batch signatures, bit-identical to per-item
         ``signature`` (same uint64 wrap + mod arithmetic): each DISTINCT
         shingle is blake2b-hashed once (factorize) and the per-item min
         runs as a segmented reduce — ~10x the per-item loop on batches of
-        short strings. Memory bounded by ``chunk`` items per tile."""
+        short strings.
+
+        Tiles are sized by CUMULATIVE shingle count, not item count: the
+        (num_perms x tile_shingles) uint64 work matrix is the peak
+        allocation, and an item-count cap would let long documents blow
+        it to gigabytes per concurrent task (the same first-touch
+        page-fault storm class as the f32_fixed_list fix). 131072
+        shingles x 64 perms x 8 B ≈ 67 MB per tile."""
         import pandas as pd
 
         n = len(shingle_lists)
         out = np.full((n, self.num_perms), _MERSENNE, dtype=np.uint64)
-        for c0 in range(0, n, chunk):
-            sls = shingle_lists[c0 : c0 + chunk]
+        tiles: list[tuple[int, int]] = []
+        start, acc = 0, 0
+        for i, sl in enumerate(shingle_lists):
+            if acc and acc + len(sl) > max_tile_shingles:
+                tiles.append((start, i))
+                start, acc = i, 0
+            acc += len(sl)
+        if start < n:
+            tiles.append((start, n))
+        for c0, c1 in tiles:
+            sls = shingle_lists[c0:c1]
             m = len(sls)
             lens = np.fromiter((len(s) for s in sls), dtype=np.int64, count=m)
             total = int(lens.sum())

@@ -90,15 +90,9 @@ def _file_label_counts(fp: str) -> dict[str, int]:
 
 def _bucket_slices(t: pa.Table, col: str, P: int) -> list[pa.Table]:
     """Split a table into its P hash-bucket slices (sources.io contract)."""
-    import numpy as np
+    from ..sources.io import bucket_slices
 
-    from ..sources.io import bucket_of
-
-    if t.num_rows == 0:
-        return [t] * P
-    b = np.asarray(bucket_of(t.column(col).to_pylist(), P))
-    return [t.take(pa.array(np.nonzero(b == k)[0])) if (b == k).any()
-            else t.slice(0, 0) for k in range(P)]
+    return bucket_slices(t, col, P)
 
 
 _MENTION_RAW_COLS = ["kind", "chunk_id", "doc_id", "name", "label",
@@ -110,7 +104,7 @@ _TRIPLE_RAW_COLS = ["kind", "subj", "subj_label", "pred", "obj", "obj_label",
 @ray.remote
 def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
                         num_shards: int, by_files: bool, tmp_dir: str,
-                        part: int):
+                        part: int, produce_slices: bool = True):
     """One flat extraction task: read its file group, chunk + extract in
     bounded slices, write ONE zstd parquet part into the shard's tmp dir,
     and return (stats, mention bucket slices, triple bucket slices).
@@ -178,6 +172,8 @@ def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
     # pass in the pipeline: the chunks/spans writers consume them with no
     # name-map dependency, concurrently with the name-map barrier.
     _tlog("extract", _t0)
+    if not produce_slices:
+        return stats
     return (stats, *_bucket_slices(m, "chunk_id", P), t_rows,
             *_bucket_slices(chunks_all, "doc_id", P),
             *_bucket_slices(spans_all, "doc_id", P))
@@ -435,6 +431,12 @@ class IngestPipeline:
                     if stale.startswith(prefix):
                         shutil.rmtree(os.path.join(parent, stale),
                                       ignore_errors=True)
+            # a shard_dir WITHOUT a manifest record = crash landed between
+            # the rename and the commit; its data has no stats/sidecar, so
+            # it must be recomputed — leaving it would make the rename
+            # below fail with ENOTEMPTY on every resume (review r4)
+            if os.path.isdir(shard_dir):
+                shutil.rmtree(shard_dir)
             tmp_dir = f"{shard_dir}.tmp-{attempt}"
             os.makedirs(tmp_dir)
             shard_tmp[shard] = tmp_dir
@@ -460,16 +462,21 @@ class IngestPipeline:
                 # hash mode (input has < num_shards files): every task
                 # scans all files and filters its rows — tiny inputs only
                 groups = [files]
-            nret = 2 + 3 * cfg.num_output_partitions
+            # partial resumes never consume slices (the DAG needs every
+            # shard's): skip computing/shipping them entirely (review r4)
+            produce_slices = len(pending) == cfg.num_shards
+            nret = 2 + 3 * cfg.num_output_partitions if produce_slices else 1
             shard_futs[shard] = [
                 _extract_files_task.options(num_returns=nret).remote(
-                    g, cfg, shard, cfg.num_shards, by_files, tmp_dir, gi)
+                    g, cfg, shard, cfg.num_shards, by_files, tmp_dir, gi,
+                    produce_slices)
                 for gi, g in enumerate(groups)
             ]
 
         for shard in pending:
             unit = f"extraction_shard_{shard:04d}"
-            parts = ray.get([f[0] for f in shard_futs[shard]])
+            parts = ray.get([f[0] if isinstance(f, (list, tuple)) else f
+                             for f in shard_futs[shard]])
             shard_dir = os.path.join(self.out, "extraction", f"shard={shard:04d}")
             os.replace(shard_tmp[shard], shard_dir)
             shard_names: set[str] = set()
@@ -716,17 +723,10 @@ class IngestPipeline:
                     # and the embed compute spreads over the P write tasks.
                     # Worker-global embedder: built once per worker process.
                     def chunks_finalize(t, cfg=cfg):
-                        import numpy as np
-
-                        from ..functions.embedder import make_embedder
-                        from ..stages import materialize as _m
-
-                        emb = _m._BCAST.setdefault(
-                            f"__embedder_{cfg.chunk_embedder}_{cfg.embedding_dim}",
-                            make_embedder(cfg.chunk_embedder, cfg.embedding_dim))
-                        vecs = emb.embed_batch(t.column("text").to_pylist())
-                        return t.append_column(
-                            "embedding", f32_fixed_list(vecs, cfg.embedding_dim))
+                        # single source of truth with the DAG writer —
+                        # diverging copies here broke the byte-identical-
+                        # paths invariant once already (review r4)
+                        return _embed_chunks_table(t, cfg)
 
                     chunks_schema = CHUNKS_SCHEMA.append(
                         pa.field("embedding",

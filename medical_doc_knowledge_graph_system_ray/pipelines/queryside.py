@@ -249,15 +249,20 @@ def _bfs_parents_multi(out_dir: str, src: str, goals: set[str],
                              "cand": agg.column("cand_min")})
 
         ds = _read(out_dir, "triples", columns=["subj", "pred", "obj"])
-        # cross-batch groupby-min BEFORE the cap (ADVICE r3): the same
-        # target surfaces once per batch, and duplicates must not count
-        # against max_frontier — the limit now measures DISTINCT next-
-        # frontier nodes, so truncation only fires on a genuinely huge
-        # frontier (and still deterministically: min cand per target)
-        from ray.data.aggregate import Min
+        # fast path: stream per-batch aggregated candidates straight to
+        # the driver min-merge — no shuffle. Only when the capped
+        # collection comes back FULL (duplicates might then be crowding
+        # out distinct targets) re-run with a cross-batch groupby-min so
+        # the cap measures DISTINCT next-frontier nodes (ADVICE r3)
+        # without paying a sort-shuffle job per hop on every bounded-
+        # degree query (review r4).
         rows = (ds.map_batches(hop_candidates, batch_format="pyarrow")
-                .groupby("to").aggregate(Min("cand", alias_name="cand"))
                 .limit(max_frontier).take_all())
+        if len(rows) >= max_frontier:
+            from ray.data.aggregate import Min
+            rows = (ds.map_batches(hop_candidates, batch_format="pyarrow")
+                    .groupby("to").aggregate(Min("cand", alias_name="cand"))
+                    .limit(max_frontier).take_all())
         best: dict[str, str] = {}
         for e in rows:  # already one row per target; dict for lookup only
             c = best.get(e["to"])
@@ -342,8 +347,9 @@ def _collect_subgraph_edges(out_dir: str, seed_keys: list[str], hops: int,
                     nxt.add(node)
         visited |= nxt
         frontier = nxt
-    if len(edges) >= max_edges:
-        truncated = True
+    # no cumulative-size check: edges can legitimately accumulate past
+    # max_edges across hops with nothing dropped — only a hop whose
+    # CAPPED collection came back full can have lost edges (review r4)
     return sorted(edges), truncated
 
 

@@ -46,6 +46,22 @@ def bucket_of(values, num_partitions: int):
     return (pd.util.hash_array(arr) % num_partitions).astype(np.int64)
 
 
+def bucket_slices(t: pa.Table, key, P: int) -> list[pa.Table]:
+    """Split a table into its P hash-bucket slices: the partitioning
+    contract's split primitive, shared by every exchange (ingest slices,
+    dedup raw exchanges, the partitioned writers) so co-location between
+    exchanges holds by construction. ``key`` is a column name or a
+    precomputed list of key strings aligned with ``t``'s rows."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return [t] * P
+    keys = t.column(key).to_pylist() if isinstance(key, str) else key
+    b = np.asarray(bucket_of(keys, P))
+    return [t.take(pa.array(np.nonzero(b == k)[0])) if (b == k).any()
+            else t.slice(0, 0) for k in range(P)]
+
+
 def write_table_partition(table: pa.Table, path: str, bucket: int,
                           sort_keys: list[str]) -> dict:
     """Sort + write one partition atomically; returns a manifest row."""
@@ -77,19 +93,13 @@ def write_partitioned(ds, path: str, key_col: str, sort_keys: list[str],
 
     @ray.remote(num_returns=P)
     def split_block(*blocks: pa.Table):
-        import numpy as np
-
         block = pa.concat_tables([b for b in blocks if b.num_rows > 0],
                                  promote_options="default") \
             if any(b.num_rows for b in blocks) else blocks[0]
         if block.num_rows == 0:
             empty = block.slice(0, 0)
             return tuple(empty for _ in range(P)) if P > 1 else empty
-        b = np.asarray(bucket_of(block.column(key_col).to_pylist(), P))
-        outs = []
-        for k in range(P):
-            idx = np.nonzero(b == k)[0]
-            outs.append(block.take(pa.array(idx)) if len(idx) else block.slice(0, 0))
+        outs = bucket_slices(block, key_col, P)
         return tuple(outs) if P > 1 else outs[0]
 
     @ray.remote

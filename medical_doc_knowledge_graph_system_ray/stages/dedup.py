@@ -198,7 +198,7 @@ def _distinct_pairs_table(t: pa.Table) -> pa.Table:
 
 
 def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
-                         num_buckets: int = 16):
+                         num_buckets: int | None = None):
     """Banding + per-band pair generation + global (a, b) distinct as TWO
     raw grouped-split exchanges over a materialized input Dataset.
 
@@ -213,9 +213,13 @@ def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
     import ray
     import ray.data as rd
 
-    from ..sources.io import _grouped_refs, bucket_of
+    from ..sources.io import _grouped_refs, bucket_slices
 
-    B = num_buckets
+    # bucket count sized to the input like the verification join
+    # (review r4): 16 fixed tasks per layer over a few hundred docs is
+    # pure scheduling overhead; a corpus-scale run still fans out wide
+    B = num_buckets or _join_buckets(ds.count() * bands,
+                                     rows_per_bucket=10_000)
 
     @ray.remote(num_returns=B)
     def band_split(*tabs: pa.Table):
@@ -223,9 +227,7 @@ def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
                              promote_options="default") \
             if any(x.num_rows for x in tabs) else tabs[0]
         bt = MinHashBander(num_perms, bands, shingle_n)(t)
-        b = np.asarray(bucket_of(bt.column("band_key").to_pylist(), B))
-        outs = [bt.take(pa.array(np.nonzero(b == k)[0])) if (b == k).any()
-                else bt.slice(0, 0) for k in range(B)]
+        outs = bucket_slices(bt, "band_key", B)
         return tuple(outs) if B > 1 else outs[0]
 
     @ray.remote(num_returns=B)
@@ -253,9 +255,7 @@ def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
             return tuple(pairs for _ in range(B)) if B > 1 else pairs
         key = [f"{x}\x1f{y}" for x, y in
                zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist())]
-        b = np.asarray(bucket_of(key, B))
-        outs = [pairs.take(pa.array(np.nonzero(b == k)[0])) if (b == k).any()
-                else pairs.slice(0, 0) for k in range(B)]
+        outs = bucket_slices(pairs, key, B)
         return tuple(outs) if B > 1 else outs[0]
 
     @ray.remote

@@ -76,7 +76,9 @@ def test_batch_signatures_bit_identical():
     items = ["", "ab", "hypertension", "type 2 diabetes mellitus",
              "x" * 500] + [f"word{i} soup {i*7}" for i in range(200)]
     lists = [char_shingles(s.lower()) for s in items]
-    batch = h.signatures(lists, chunk=64)  # force multiple tiles
+    # force many tiles (tile budget is cumulative SHINGLES since the
+    # review-r4 memory fix, so long items can't blow the work matrix)
+    batch = h.signatures(lists, max_tile_shingles=64)
     for i, sl in enumerate(lists):
         assert np.array_equal(batch[i], h.signature(sl)), items[i]
 

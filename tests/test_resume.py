@@ -118,3 +118,25 @@ def test_manifest_stays_small_names_in_sidecars(ray_session, docs_on_disk):
     with open(os.path.join(out, "name_map.json")) as f:
         name_map = json.load(f)
     assert set(name_map) == names
+
+
+def test_stale_uncommitted_shard_dir_is_recomputed(ray_session, docs_on_disk):
+    """Crash window between the shard rename and its manifest commit
+    (review r4): the renamed-but-uncommitted shard_dir must be swept and
+    recomputed on restart — it used to make os.replace fail with
+    ENOTEMPTY on every subsequent resume."""
+    docs_path, cfg, root = docs_on_disk
+
+    out_a = os.path.join(root, "out_ref2")
+    IngestPipeline(docs_path, cfg, output_dir=out_a).run()
+
+    out_c = os.path.join(root, "out_stale")
+    stale = os.path.join(out_c, "extraction", "shard=0000")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "part-99999.parquet"), "wb") as f:
+        f.write(b"junk from the crashed attempt")
+
+    IngestPipeline(docs_path, cfg, output_dir=out_c).run()
+    for table in ("triples", "entities", "mentions", "chunks", "spans",
+                  "extraction"):
+        assert _dir_digest(out_a, table) == _dir_digest(out_c, table), table
