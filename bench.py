@@ -11,9 +11,10 @@ synthesis is input preparation and is cached/untimed; one untimed
 warm-up read precedes timing so the page cache is hot.
 
 --scaling: runs the same job in two fresh processes at the two CPU
-levels in $GRAFT_SCALING_LEVELS (default "8,32"; "4,16" and "2,8" are
-the below-saturation N-vs-4N pairs — see BASELINE.md) on the SAME
-corpus and reports throughput at both plus
+levels in $GRAFT_SCALING_LEVELS (default "2,8" — the equal-per-core-
+conditions N-vs-4N pair on this shared box; see BASELINE.md for the
+full pair table incl. 4,16 and 8,32) on the SAME corpus and reports
+throughput at both plus
   eff = (T_small / T_large) / (cpus_large / cpus_small)
 (the in-sandbox stand-in for the N vs 4N node criterion — BASELINE.md).
 """
@@ -148,11 +149,16 @@ def run_scaling() -> dict:
     # level's whole block would bias the ratio — alternating lo/hi runs
     # makes both levels sample the same load windows; the per-level
     # minimum measures the pipeline, not the noise.
-    # GRAFT_SCALING_LEVELS picks the N-and-4N pair (default "8,32"; the
-    # secondary evidence pair "4,16" keeps the 4N leg below this shared
-    # box's memory-bandwidth saturation point — BASELINE.md records both).
+    # GRAFT_SCALING_LEVELS picks the N-and-4N pair. Default "2,8": the
+    # only pair whose two legs see EQUAL per-core conditions on this
+    # shared 32-core box (measured busy-core-seconds are flat at 2/4/8-way
+    # occupancy, then +39%/+75% per core at 16/32-way from the all-core
+    # turbo / memory-bandwidth curve — BASELINE.md "Why the pairs
+    # disagree"). A pair whose 4N leg saturates the box measures the box,
+    # not the engine; (8,32) and (4,16) results are recorded in
+    # BASELINE.md alongside and remain reproducible via this variable.
     lo_cpus, hi_cpus = (int(x) for x in os.environ.get(
-        "GRAFT_SCALING_LEVELS", "8,32").split(","))
+        "GRAFT_SCALING_LEVELS", "2,8").split(","))
     n = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
     lo_runs, hi_runs = [], []
     for _ in range(n):
