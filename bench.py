@@ -135,14 +135,28 @@ def rowcount_hint(corpus_dir: str) -> int:
 
 
 def run_scaling() -> dict:
-    def one(ncpu: int) -> dict:
+    def one(ncpu: int, run_idx: int) -> dict:
         # children run the headline once: the parent's interleaved
-        # best-of-n already provides the noise rejection
+        # best-of-n already provides the noise rejection. Each child
+        # also task-logs so the JSON carries busy-core-seconds per level
+        # (VERDICT r4 #2: the pair-choice evidence, machine-recorded).
+        tlog = f"/tmp/medkg_scaling_tasklog_{os.getpid()}_{ncpu}_{run_idx}.txt"
+        try:
+            os.remove(tlog)
+        except FileNotFoundError:
+            pass
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_SCALING_CHILD="1", GRAFT_BENCH_RUNS="1")
+                   GRAFT_SCALING_CHILD="1", GRAFT_BENCH_RUNS="1",
+                   MEDKG_TASKLOG=tlog)
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        rec = json.loads(out.strip().splitlines()[-1])
+        rec["core_seconds"] = _busy_core_seconds(tlog)
+        try:
+            os.remove(tlog)
+        except FileNotFoundError:
+            pass
+        return rec
 
     # best-of-n with INTERLEAVED levels: wall clock on this shared node
     # varies ±20-40% with co-tenant load, and a load spike during one
@@ -161,9 +175,9 @@ def run_scaling() -> dict:
         "GRAFT_SCALING_LEVELS", "2,8").split(","))
     n = int(os.environ.get("GRAFT_SCALING_RUNS", "3"))
     lo_runs, hi_runs = [], []
-    for _ in range(n):
-        lo_runs.append(one(lo_cpus))
-        hi_runs.append(one(hi_cpus))
+    for i in range(n):
+        lo_runs.append(one(lo_cpus, i))
+        hi_runs.append(one(hi_cpus, i))
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     eff = (lo["value"] / hi["value"]) / (hi_cpus / lo_cpus)
@@ -171,10 +185,17 @@ def run_scaling() -> dict:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
-        "sec_8": lo["value"],     # key names are historical: lo-level wall
-        "sec_32": hi["value"],    # hi-level wall (see cpu_levels)
-        "triples_per_sec_8": lo["triples_per_sec"],
-        "triples_per_sec_32": hi["triples_per_sec"],
+        # level-relative key names (ADVICE r4: the old fixed sec_8/sec_32
+        # names misattributed CPU levels once the default pair changed);
+        # cpu_levels maps lo/hi to actual CPU counts
+        "sec_lo": lo["value"],
+        "sec_hi": hi["value"],
+        "triples_per_sec_lo": lo["triples_per_sec"],
+        "triples_per_sec_hi": hi["triples_per_sec"],
+        # busy-core-seconds of the best run per level (sum of task
+        # wall-spans from MEDKG_TASKLOG): flat lo->hi = equal per-core
+        # conditions, the evidence behind the (2,8) pair choice
+        "core_seconds": {"lo": lo["core_seconds"], "hi": hi["core_seconds"]},
         "sf": lo["sf"],
         "queries": {f"kg_e2e_{lo_cpus}cpu": lo["value"],
                     f"kg_e2e_{hi_cpus}cpu": hi["value"]},
@@ -187,10 +208,27 @@ def run_scaling() -> dict:
         "runs_per_level": n,
         "run_order": "interleaved",
         "aggregation": "min",
-        "all_runs": {"sec_8": [r["value"] for r in lo_runs],
-                     "sec_32": [r["value"] for r in hi_runs]},
+        "all_runs": {"sec_lo": [r["value"] for r in lo_runs],
+                     "sec_hi": [r["value"] for r in hi_runs],
+                     "core_seconds_lo": [r["core_seconds"] for r in lo_runs],
+                     "core_seconds_hi": [r["core_seconds"] for r in hi_runs]},
         "secondary_queries": False,
     }
+
+
+def _busy_core_seconds(tlog_path: str) -> float | None:
+    """Sum of task wall-spans from a MEDKG_TASKLOG file ('<name> <start>
+    <end>' per task) — the storm-proof per-level cost signal."""
+    try:
+        with open(tlog_path) as f:
+            total = 0.0
+            for line in f:
+                parts = line.split()
+                if len(parts) == 3:
+                    total += float(parts[2]) - float(parts[1])
+        return round(total, 1)
+    except (OSError, ValueError):
+        return None
 
 
 if __name__ == "__main__":

@@ -534,9 +534,31 @@ class IngestPipeline:
         invalidated and recomputed (ADVICE r1: silent stale-shard reuse)."""
         import shutil
 
+        from ..sources.io import bucket_hash_identity
+
         cfg = self.cfg
+        # Bucket-hash guard (ADVICE r4): every table in this output tree is
+        # co-located under ONE hash function. If the tree was committed
+        # under a different hash identity (pandas upgrade changed its
+        # internal siphash) — or under a legacy manifest that never
+        # recorded one — nothing bucketed is reusable: wipe all shards and
+        # downstream units rather than mixing bucketings.
+        cur_hash = bucket_hash_identity()
+        hash_rec = self.manifest.read("bucket_hash")
+        hash_stale = (
+            hash_rec.get("id") != cur_hash if hash_rec is not None
+            else bool(self.manifest.all_units())
+        )
+        if hash_rec is None or hash_stale:
+            import pandas as pd
+
+            self.manifest.commit("bucket_hash", {
+                "id": cur_hash, "pandas": pd.__version__})
         stale = []
         for s in range(cfg.num_shards):
+            if hash_stale:
+                stale.append((s, f"extraction_shard_{s:04d}"))
+                continue
             unit = f"extraction_shard_{s:04d}"
             rec = self.manifest.read(unit)
             if rec is None:

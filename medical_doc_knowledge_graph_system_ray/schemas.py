@@ -127,10 +127,14 @@ def props_to_json(d: dict) -> str:
     extractor kernel at ~133k calls per 20k chunks); the cache is
     worker-global and bounded."""
     try:
-        key = tuple(sorted(d.items()))
-    except TypeError:  # non-hashable value (nested dict) — rare path
+        # Type names in the key keep ==-but-distinct encodings apart
+        # (True vs 1, 1 vs 1.0 — json.dumps renders them differently);
+        # the cache probe itself hashes the values, so unhashable values
+        # (lists, nested dicts) raise HERE and fall through to dumps.
+        key = tuple(sorted((k, type(v).__name__, v) for k, v in d.items()))
+        s = _PROPS_JSON_CACHE.get(key)
+    except TypeError:  # unhashable or unorderable value — rare path
         return json.dumps(d, sort_keys=True, separators=(",", ":"))
-    s = _PROPS_JSON_CACHE.get(key)
     if s is None:
         s = json.dumps(d, sort_keys=True, separators=(",", ":"))
         if len(_PROPS_JSON_CACHE) < 100_000:

@@ -30,6 +30,32 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 
+_BUCKET_HASH_ID: str | None = None
+
+
+def bucket_hash_identity() -> str:
+    """Fingerprint of the ACTUAL bucket-hash implementation (ADVICE r4):
+    bucket_of delegates to pandas' internal siphash, whose stability
+    across pandas versions is not guaranteed, and the static
+    "siphash-v2" lineage marker cannot see an implementation change. So
+    fingerprint the behavior itself — hash_array's output on a fixed
+    probe vector, digested — and record it in the run manifest; a resume
+    under a pandas whose hash differs is detected and invalidated instead
+    of silently co-locating tables bucketed under different hashes."""
+    global _BUCKET_HASH_ID
+    if _BUCKET_HASH_ID is None:
+        import numpy as np
+        import pandas as pd
+
+        probe = np.asarray(
+            ["", "a", "label\x1fkey", "0123456789" * 5, "κλμ-ünïcode",
+             "Patient:000042", "hypertension"], dtype=object)
+        h = np.ascontiguousarray(pd.util.hash_array(probe))
+        _BUCKET_HASH_ID = ("siphash-v2/"
+                           + hashlib.blake2b(h.tobytes(), digest_size=8).hexdigest())
+    return _BUCKET_HASH_ID
+
+
 def bucket_of(values, num_partitions: int):
     """Vectorized partition bucketing: pandas' fixed-key siphash over the
     key column in one C pass (the per-row Python crc32 loop this replaced

@@ -146,3 +146,32 @@ def test_json_col_to_map_array_matches_per_row_parse(dicts, chunked):
                                    for k, val in _json.loads(v).items()))
     assert out.to_pylist() == [
         [(k, val) for k, val in row] for row in expected]
+
+
+# --- props_to_json memoization edge cases (advisor r4) ---
+
+def test_props_to_json_unhashable_values_fall_back_to_dumps():
+    import json as _json
+
+    from medical_doc_knowledge_graph_system_ray.schemas import props_to_json
+
+    for d in ({"dob": ["1990", "01"]}, {"nested": {"a": 1}},
+              {"mix": "x", "lst": [1, 2]}):
+        assert props_to_json(d) == _json.dumps(
+            d, sort_keys=True, separators=(",", ":"))
+
+
+def test_props_to_json_distinguishes_equal_but_differently_encoded_values():
+    import json as _json
+
+    from medical_doc_knowledge_graph_system_ray.schemas import props_to_json
+
+    # True == 1 and 1 == 1.0, but json encodes them differently; the
+    # memo key must not collide (order of calls must not matter).
+    pairs = [({"a": True}, {"a": 1}), ({"a": 1}, {"a": 1.0}),
+             ({"b": False}, {"b": 0})]
+    for d1, d2 in pairs:
+        s1, s2 = props_to_json(d1), props_to_json(d2)
+        assert s1 == _json.dumps(d1, sort_keys=True, separators=(",", ":"))
+        assert s2 == _json.dumps(d2, sort_keys=True, separators=(",", ":"))
+        assert s1 != s2

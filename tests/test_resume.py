@@ -140,3 +140,61 @@ def test_stale_uncommitted_shard_dir_is_recomputed(ray_session, docs_on_disk):
     for table in ("triples", "entities", "mentions", "chunks", "spans",
                   "extraction"):
         assert _dir_digest(out_a, table) == _dir_digest(out_c, table), table
+
+
+def test_bucket_hash_mismatch_invalidates_whole_tree(ray_session, docs_on_disk):
+    """ADVICE r4: a resume under a pandas whose internal hash_array
+    changed must not mix tables bucketed under different hashes. The
+    manifest records the bucket-hash identity; flipping it simulates the
+    upgrade and must force a full recompute to a byte-identical tree."""
+    import json
+
+    docs_path, cfg, root = docs_on_disk
+
+    out = os.path.join(root, "out_hashguard")
+    IngestPipeline(docs_path, cfg, output_dir=out).run()
+    digests = {t: _dir_digest(out, t)
+               for t in ("triples", "entities", "mentions", "chunks", "spans")}
+
+    # simulate: the completed tree was written under a different hash
+    rec_path = os.path.join(out, "_manifest", "bucket_hash.json")
+    with open(rec_path) as f:
+        rec = json.load(f)
+    assert rec["id"].startswith("siphash-v2/")
+    rec["id"] = "siphash-v2/0000000000000000"
+    with open(rec_path, "w") as f:
+        json.dump(rec, f)
+    # poison a table file: if the guard fails to invalidate, the resumed
+    # run reuses this file and the digest comparison below catches it
+    tfile = sorted(os.listdir(os.path.join(out, "triples")))[0]
+    with open(os.path.join(out, "triples", tfile), "ab") as f:
+        f.write(b"tamper")
+
+    pipe = IngestPipeline(docs_path, cfg, output_dir=out)
+    pipe.run()
+    from medical_doc_knowledge_graph_system_ray.sources.io import (
+        bucket_hash_identity,
+    )
+
+    assert pipe.manifest.read("bucket_hash")["id"] == bucket_hash_identity()
+    for table, want in digests.items():
+        assert _dir_digest(out, table) == want, table
+
+
+def test_legacy_manifest_without_bucket_hash_is_stale(ray_session, docs_on_disk):
+    """A pre-guard manifest (no bucket_hash unit) cannot prove its tables
+    were bucketed under the current hash — treat as stale, recompute."""
+    docs_path, cfg, root = docs_on_disk
+
+    out = os.path.join(root, "out_legacy")
+    IngestPipeline(docs_path, cfg, output_dir=out).run()
+    digests = {t: _dir_digest(out, t) for t in ("triples", "entities")}
+
+    os.remove(os.path.join(out, "_manifest", "bucket_hash.json"))
+    efile = sorted(os.listdir(os.path.join(out, "entities")))[0]
+    with open(os.path.join(out, "entities", efile), "ab") as f:
+        f.write(b"tamper")
+
+    IngestPipeline(docs_path, cfg, output_dir=out).run()
+    for table, want in digests.items():
+        assert _dir_digest(out, table) == want, table
