@@ -66,6 +66,18 @@ class PipelineConfig:
     rerank_threshold: float = 0.10
     rerank_simple_delta: float = 0.10
 
+    # ── post-extraction DAG fan-out bound (VERDICT r4 #1) ─────────────────
+    # The fresh-run fast path ships pre-bucketed slices straight from
+    # extraction tasks to the Phase-A writers: n_tasks x (2 + 3P) slice
+    # objects and n_tasks-arg writer tasks. Fine at single-node task
+    # counts, but on a cluster (thousands of extraction tasks) object-
+    # store metadata and task-spec serialization would grow O(tasks x P).
+    # Above this object budget, extraction tasks return whole tables
+    # (5 objects each) and a grouped fan-in layer of ~_TARGET_SPLITS
+    # concat+split tasks does the bucketing — slice objects and
+    # per-writer arg counts become constants independent of task count.
+    dag_direct_max_objects: int = 32_768
+
     # ── partitioned output / resume ───────────────────────────────────────
     num_shards: int = 8                    # input shards (resume granularity)
     num_output_partitions: int = 8         # hash partitions of final tables

@@ -104,19 +104,27 @@ _TRIPLE_RAW_COLS = ["kind", "subj", "subj_label", "pred", "obj", "obj_label",
 @ray.remote
 def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
                         num_shards: int, by_files: bool, tmp_dir: str,
-                        part: int, produce_slices: bool = True):
+                        part: int, emit: str = "slices"):
     """One flat extraction task: read its file group, chunk + extract in
     bounded slices, write ONE zstd parquet part into the shard's tmp dir,
-    and return (stats, mention bucket slices, triple bucket slices).
+    and return per ``emit``:
+      "none"   — stats only (partial resume: the DAG can't run anyway);
+      "slices" — (stats, P mention slices, t_rows, P chunk slices,
+                 P span slices): pre-bucketed slices feed Phase A's write
+                 tasks DIRECTLY through the object store;
+      "tables" — (stats, mentions, t_rows, chunks, spans) whole tables:
+                 the grouped fan-in layer (_group_split_task) does the
+                 bucketing, bounding the DAG's slice-object count at
+                 G x 3P and writer arg lists at G regardless of how many
+                 extraction tasks the cluster runs (VERDICT r4 #1).
 
     The stats dict carries the row count + distinct mention names so the
-    shard commit needs no post-write re-scan. The bucket slices feed
-    Phase A's write tasks DIRECTLY through the object store — when every
-    shard is extracted in this run, the mentions/triples exchange never
-    re-reads the extraction table from disk and its split layer
-    disappears (the slices spill to disk automatically under memory
-    pressure, so the at-scale behavior degrades to exactly the file
-    path, which remains the resume fallback).
+    shard commit needs no post-write re-scan. When every shard is
+    extracted in this run, the mentions/triples exchange never re-reads
+    the extraction table from disk (the in-flight tables spill to disk
+    automatically under memory pressure, so the at-scale behavior
+    degrades to exactly the file path, which remains the resume
+    fallback).
 
     The extractor state (alias regex, rule tables) comes from the
     worker-global compile-once cache — Ray tasks reuse warm worker
@@ -172,8 +180,10 @@ def _extract_files_task(files: list[str], cfg: PipelineConfig, shard: int,
     # pass in the pipeline: the chunks/spans writers consume them with no
     # name-map dependency, concurrently with the name-map barrier.
     _tlog("extract", _t0)
-    if not produce_slices:
+    if emit == "none":
         return stats
+    if emit == "tables":
+        return (stats, m, t_rows, chunks_all, spans_all)
     return (stats, *_bucket_slices(m, "chunk_id", P), t_rows,
             *_bucket_slices(chunks_all, "doc_id", P),
             *_bucket_slices(spans_all, "doc_id", P))
@@ -184,6 +194,21 @@ def _concat_slices(slices) -> pa.Table:
     if tables:
         return pa.concat_tables(tables, promote_options="default")
     return slices[0]
+
+
+@ray.remote
+def _group_split_task(key_col: str, P: int, *tabs: pa.Table):
+    """Grouped fan-in layer for the post-extraction DAG (VERDICT r4 #1):
+    concat ~n_tasks/_TARGET_SPLITS extraction-task tables for one family
+    (mentions/chunks/spans), bucket-split once. With G of these per
+    family, the DAG holds G x 3P slice objects and each writer takes G
+    args — constants independent of extraction-task count — instead of
+    the direct path's n_tasks x 3P slices and n_tasks-arg writers."""
+    _t0 = time.time()
+    t = _concat_slices(tabs)
+    out = _bucket_slices(t, key_col, P)
+    _tlog("group_split", _t0)
+    return tuple(out) if P > 1 else out[0]
 
 
 @ray.remote
@@ -218,9 +243,10 @@ def _mentions_write_task(bucket: int, name_map_ref_box: list, path: str,
 
 
 @ray.remote
-def _triples_remap_task(name_map_ref_box: list, P: int, t_rows: pa.Table):
-    """Phase A triples split layer fed by an extraction task's raw
-    t-rows: endpoint remap + per-batch partial (s,p,o) reduce, THEN
+def _triples_remap_task(name_map_ref_box: list, P: int, *t_rows: pa.Table):
+    """Phase A triples split layer fed by one or more extraction tasks'
+    raw t-rows (one in the direct DAG, a fan-in group in the bounded
+    DAG): endpoint remap + per-batch partial (s,p,o) reduce, THEN
     bucket by the now-canonical subj (the remap rewrites subj, so
     bucketing must follow it — pre-bucketing raw subj would scatter one
     canonical (s,p,o) group across partitions and break the
@@ -228,7 +254,8 @@ def _triples_remap_task(name_map_ref_box: list, P: int, t_rows: pa.Table):
     from ..stages import materialize as mat
 
     _t0 = time.time()
-    tr = mat.remap_triples_batch(t_rows, mat.fetch_broadcast(name_map_ref_box[0]),
+    tr = mat.remap_triples_batch(_concat_slices(t_rows),
+                                 mat.fetch_broadcast(name_map_ref_box[0]),
                                  None)
     out = _bucket_slices(tr, "subj", P)
     _tlog("triples_remap", _t0)
@@ -414,6 +441,7 @@ class IngestPipeline:
         t_wave = time.time()
         shard_futs: dict[int, list] = {}
         shard_tmp: dict[int, str] = {}
+        shard_groups: dict[int, list] = {}
         import uuid
 
         attempt = uuid.uuid4().hex[:8]
@@ -462,15 +490,29 @@ class IngestPipeline:
                 # hash mode (input has < num_shards files): every task
                 # scans all files and filters its rows — tiny inputs only
                 groups = [files]
-            # partial resumes never consume slices (the DAG needs every
-            # shard's): skip computing/shipping them entirely (review r4)
-            produce_slices = len(pending) == cfg.num_shards
-            nret = 2 + 3 * cfg.num_output_partitions if produce_slices else 1
+            shard_groups[shard] = groups
+
+        # emit-mode decision (VERDICT r4 #1): partial resumes never
+        # consume slices (the DAG needs every shard's) — stats only.
+        # Fresh runs ship pre-bucketed slices straight to the writers
+        # while the total object count fits the budget; above it,
+        # extraction returns whole tables and the grouped fan-in layer
+        # below bounds slice objects and writer arg lists at constants.
+        P = cfg.num_output_partitions
+        total_tasks = sum(len(g) for g in shard_groups.values())
+        if len(pending) != cfg.num_shards:
+            emit = "none"
+        elif total_tasks * (2 + 3 * P) <= cfg.dag_direct_max_objects:
+            emit = "slices"
+        else:
+            emit = "tables"
+        nret = {"none": 1, "tables": 5, "slices": 2 + 3 * P}[emit]
+        for shard in pending:
             shard_futs[shard] = [
                 _extract_files_task.options(num_returns=nret).remote(
-                    g, cfg, shard, cfg.num_shards, by_files, tmp_dir, gi,
-                    produce_slices)
-                for gi, g in enumerate(groups)
+                    g, cfg, shard, cfg.num_shards, by_files,
+                    shard_tmp[shard], gi, emit)
+                for gi, g in enumerate(shard_groups[shard])
             ]
 
         for shard in pending:
@@ -504,18 +546,49 @@ class IngestPipeline:
                 },
             )
 
-        if len(pending) != cfg.num_shards:
+        if emit == "none":
             # partial resume: some shards' bucket slices were never
             # produced this run — Phase A must fall back to reading the
             # extraction table from disk
             return None
-        P = cfg.num_output_partitions
         all_futs = [f for shard in pending for f in shard_futs[shard]]
+        # "triples" entries are LISTS of raw t-rows refs — one remap task
+        # per entry (a single task's rows on the direct path, a fan-in
+        # group's on the bounded path)
+        if emit == "slices":
+            return {
+                "mentions": [f[1 : 1 + P] for f in all_futs],
+                "triples": [[f[1 + P]] for f in all_futs],
+                "chunks": [f[2 + P : 2 + 2 * P] for f in all_futs],
+                "spans": [f[2 + 2 * P : 2 + 3 * P] for f in all_futs],
+            }
+        # bounded DAG: grouped fan-in layer (VERDICT r4 #1). G split
+        # tasks per family, each concatenating ~total_tasks/G extraction
+        # outputs then bucket-splitting once — slice objects G x 3P and
+        # writer arg lists G, constants independent of extraction-task
+        # count. Round-robin grouping spreads size-correlated neighbors.
+        # Submission order keeps the mentions family (the critical path
+        # into entities/triples) ahead of chunks/spans in Ray's FIFO
+        # queue; each split task's peak heap is ~2x its group's bytes
+        # (~corpus/G), the same envelope as a writer's bucket (~corpus/P).
+        from ..sources.io import _TARGET_SPLITS
+
+        G = min(_TARGET_SPLITS, len(all_futs))
+        grouped = [all_futs[i::G] for i in range(G)]
+
+        def _split(idx: int, key: str) -> list:
+            futs = [
+                _group_split_task.options(num_returns=P).remote(
+                    key, P, *[f[idx] for f in grp])
+                for grp in grouped
+            ]
+            return [[f] for f in futs] if P == 1 else futs
+
         return {
-            "mentions": [f[1 : 1 + P] for f in all_futs],
-            "triples": [f[1 + P] for f in all_futs],
-            "chunks": [f[2 + P : 2 + 2 * P] for f in all_futs],
-            "spans": [f[2 + 2 * P : 2 + 3 * P] for f in all_futs],
+            "mentions": _split(1, "chunk_id"),
+            "triples": [[f[2] for f in grp] for grp in grouped],
+            "chunks": _split(3, "doc_id"),
+            "spans": _split(4, "doc_id"),
         }
 
     # downstream units + the table dirs they own, invalidated together when
@@ -825,7 +898,7 @@ class IngestPipeline:
             ]
             r_futs = [
                 _triples_remap_task.options(num_returns=P).remote(
-                    [name_map_ref], P, ts)
+                    [name_map_ref], P, *ts)
                 for ts in slices["triples"]
             ]
             if P == 1:
@@ -929,7 +1002,7 @@ class IngestPipeline:
                 ]
                 r_futs = [
                     _triples_remap_task.options(num_returns=P).remote(
-                        [name_map_ref], P, ts)
+                        [name_map_ref], P, *ts)
                     for ts in slices["triples"]
                 ]
                 if P == 1:

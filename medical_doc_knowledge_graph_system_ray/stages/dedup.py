@@ -199,16 +199,29 @@ def _distinct_pairs_table(t: pa.Table) -> pa.Table:
 
 def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
                          num_buckets: int | None = None):
+    """MinHash banding + per-band pair generation + global (a, b)
+    distinct via the shared raw exchange (_banded_pairs_raw)."""
+    def band_fn(t: pa.Table) -> pa.Table:
+        return MinHashBander(num_perms, bands, shingle_n)(t)
+
+    return _banded_pairs_raw(ds, band_fn, _candidate_pairs_in_group, bands,
+                             num_buckets=num_buckets)
+
+
+def _banded_pairs_raw(ds, band_fn, per_group_fn, bands_per_row: int,
+                      num_buckets: int | None = None):
     """Banding + per-band pair generation + global (a, b) distinct as TWO
-    raw grouped-split exchanges over a materialized input Dataset.
+    raw grouped-split exchanges over a materialized input Dataset —
+    shared by the minhash and sign-sketch LSH candidate stages
+    (VERDICT r4 #4).
 
     Replaces map_batches + groupby(band_key).map_groups + groupby(a, b)
     — two Dataset sort shuffles whose fixed per-job latency dominated
     the pipeline at small scale (~5 s of a ~9 s sf0.1 run for ~10^2
     surviving pairs). Semantics unchanged: the band shuffle still moves
-    (band_key, doc_id, sig64) rows only, every band bucket runs the same
-    hot-bucket-safe `_candidate_pairs_in_group`, and the second exchange
-    makes the pair set globally distinct."""
+    (band_key, id, sig) rows only, every band bucket runs the same
+    hot-bucket-safe ``per_group_fn``, and the second exchange makes the
+    pair set globally distinct."""
     import numpy as np
     import ray
     import ray.data as rd
@@ -218,7 +231,7 @@ def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
     # bucket count sized to the input like the verification join
     # (review r4): 16 fixed tasks per layer over a few hundred docs is
     # pure scheduling overhead; a corpus-scale run still fans out wide
-    B = num_buckets or _join_buckets(ds.count() * bands,
+    B = num_buckets or _join_buckets(ds.count() * bands_per_row,
                                      rows_per_bucket=10_000)
 
     @ray.remote(num_returns=B)
@@ -226,7 +239,7 @@ def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
         t = pa.concat_tables([x for x in tabs if x.num_rows > 0],
                              promote_options="default") \
             if any(x.num_rows for x in tabs) else tabs[0]
-        bt = MinHashBander(num_perms, bands, shingle_n)(t)
+        bt = band_fn(t)
         outs = bucket_slices(bt, "band_key", B)
         return tuple(outs) if B > 1 else outs[0]
 
@@ -245,7 +258,7 @@ def _candidate_pairs_raw(ds, num_perms: int, bands: int, shingle_n: int,
         idx = enc.indices.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(np.r_[True, idx[1:] != idx[:-1]])
         bounds = np.r_[starts, len(idx)]
-        parts = [_candidate_pairs_in_group(t.slice(bounds[i], bounds[i + 1] - bounds[i]))
+        parts = [per_group_fn(t.slice(bounds[i], bounds[i + 1] - bounds[i]))
                  for i in range(len(starts))]
         pairs = _distinct_pairs_table(
             pa.concat_tables([p for p in parts if p.num_rows > 0])
@@ -818,11 +831,11 @@ def embedding_neardup_lsh(ds, threshold: float = 0.45, bands: int = 16,
         return pa.Table.from_pylist(rows, schema=pa.schema([("a", pa.int64()),
                                                             ("b", pa.int64())]))
 
-    candidates = _distinct_pairs(
-        ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(cand_pairs, batch_format="pyarrow")
-    ).materialize()
+    # same raw grouped-split exchange as the minhash candidate stage
+    # (VERDICT r4 #4): the Dataset groupby(band_key).map_groups sort
+    # shuffle cost ~2 s fixed even on tiny inputs; identical pair set
+    ds = ds.materialize()
+    candidates = _banded_pairs_raw(ds, band_rows, cand_pairs, bands)
     n_cands = candidates.count()
     if n_cands == 0:
         return rd.from_arrow(pa.Table.from_pylist([], schema=_PAIR_SCHEMA))

@@ -198,3 +198,24 @@ def test_legacy_manifest_without_bucket_hash_is_stale(ray_session, docs_on_disk)
     IngestPipeline(docs_path, cfg, output_dir=out).run()
     for table, want in digests.items():
         assert _dir_digest(out, table) == want, table
+
+
+def test_bounded_dag_fanin_is_byte_identical(ray_session, docs_on_disk):
+    """VERDICT r4 #1: above the object budget the DAG inserts a grouped
+    fan-in layer (extraction returns whole tables; ~_TARGET_SPLITS split
+    tasks bucket them). Forcing that mode must produce tables
+    byte-identical to the direct-slices DAG."""
+    import dataclasses
+
+    docs_path, cfg, root = docs_on_disk
+
+    out_a = os.path.join(root, "out_direct")
+    IngestPipeline(docs_path, cfg, output_dir=out_a).run()
+
+    out_b = os.path.join(root, "out_fanin")
+    cfg_b = dataclasses.replace(cfg, dag_direct_max_objects=0)
+    IngestPipeline(docs_path, cfg_b, output_dir=out_b).run()
+
+    for table in ("triples", "entities", "mentions", "chunks", "spans",
+                  "extraction"):
+        assert _dir_digest(out_a, table) == _dir_digest(out_b, table), table
