@@ -18,6 +18,7 @@ Reference parity targets:
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -30,6 +31,8 @@ import ray.data as rd
 from ..config import PipelineConfig
 from ..functions.embedder import make_embedder
 from ..schemas import CLINICAL_PREDICATES
+
+logger = logging.getLogger(__name__)
 
 
 # Materialize-once cache for repeated query batches (the evaluation
@@ -422,17 +425,129 @@ def _enumerate_paths(adj, start: str, goal: str | None, max_hops: int,
     return out
 
 
+def _bfs_distances(out_dir: str, src: str, max_hops: int,
+                   max_frontier: int = 200_000,
+                   predicates: tuple[str, ...] | None = None) -> dict[str, int]:
+    """Distributed hop-distance map from `src` (undirected), the distance
+    analog of _bfs_parents_multi: each hop is one vectorized is_in scan
+    of the triples table whose tasks emit only their batch's DISTINCT
+    unvisited neighbor nodes — a hub's raw edge list never reaches the
+    driver, only its O(nodes) neighbor set (capped at max_frontier)."""
+    dist = {src: 0}
+    frontier = {src}
+    pred_arr = pa.array(sorted(predicates)) if predicates is not None else None
+    for d in range(1, max_hops + 1):
+        if not frontier:
+            break
+        fr_arr = pa.array(sorted(frontier))
+        seen_arr = pa.array(sorted(dist))
+
+        def hop_nodes(batch: pa.Table, fr_arr=fr_arr,
+                      seen_arr=seen_arr) -> pa.Table:
+            if pred_arr is not None:
+                batch = batch.filter(pc.is_in(batch.column("pred"),
+                                              value_set=pred_arr))
+            hit_s = batch.filter(pc.is_in(batch.column("subj"), value_set=fr_arr))
+            hit_o = batch.filter(pc.is_in(batch.column("obj"), value_set=fr_arr))
+            to = pa.concat_arrays([hit_s.column("obj").combine_chunks(),
+                                   hit_o.column("subj").combine_chunks()])
+            t = pa.table({"to": to})
+            t = t.filter(pc.invert(pc.is_in(t.column("to"), value_set=seen_arr)))
+            return t.group_by("to", use_threads=False).aggregate([])
+
+        ds = _read(out_dir, "triples", columns=["subj", "pred", "obj"])
+        rows = (ds.map_batches(hop_nodes, batch_format="pyarrow")
+                .limit(max_frontier).take_all())
+        if len(rows) >= max_frontier:
+            # cap hit with possible cross-batch duplicates: re-run with a
+            # global distinct so the cap measures DISTINCT nodes
+            rows = (ds.map_batches(hop_nodes, batch_format="pyarrow")
+                    .groupby("to").count().limit(max_frontier).take_all())
+        nxt = {r["to"] for r in rows} - dist.keys()
+        for n in sorted(nxt):
+            dist[n] = d
+        frontier = nxt
+    return dist
+
+
+def _collect_path_edges(out_dir: str, dist_a: dict[str, int],
+                        dist_b: dict[str, int], max_hops: int,
+                        max_edges: int = 200_000):
+    """Distance-pruned edge collection for goal-directed path enumeration
+    (VERDICT r4 next #7): an undirected edge (u, v) can lie on an a->b
+    path of length <= H only if min(dist_a[u]+1+dist_b[v],
+    dist_a[v]+1+dist_b[u]) <= H — and every edge of every such path
+    satisfies it (BFS distance <= along-path distance). So this
+    collection is PROVABLY COMPLETE for a->b enumeration while dropping
+    a hub's dead-end spokes (dist_b = inf), which is what overflowed the
+    plain k-hop ball. One vectorized scan: index_in against the two
+    broadcast distance maps, arithmetic, filter, per-batch distinct."""
+    import numpy as np
+
+    INF = max_hops + 10
+
+    def lookup_cols(nodes: dict[str, int]):
+        keys = pa.array(sorted(nodes))
+        vals = np.asarray([nodes[k] for k in sorted(nodes)], dtype=np.int64)
+        return keys, vals
+
+    ka, va = lookup_cols(dist_a)
+    kb, vb = lookup_cols(dist_b)
+    cols = ["subj", "subj_label", "pred", "obj", "obj_label"]
+
+    def qualify(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        def dist_of(col, keys, vals):
+            idx = pc.fill_null(pc.index_in(batch.column(col), value_set=keys),
+                               -1).to_numpy(zero_copy_only=False)
+            out = np.full(len(idx), INF, dtype=np.int64)
+            hit = idx >= 0
+            out[hit] = vals[idx[hit]]
+            return out
+
+        das, dao = dist_of("subj", ka, va), dist_of("obj", ka, va)
+        dbs, dbo = dist_of("subj", kb, vb), dist_of("obj", kb, vb)
+        ok = np.minimum(das + 1 + dbo, dao + 1 + dbs) <= max_hops
+        return batch.filter(pa.array(ok)).group_by(
+            cols, use_threads=False).aggregate([])
+
+    rows = (_read(out_dir, "triples", columns=cols)
+            .map_batches(qualify, batch_format="pyarrow")
+            .limit(max_edges).take_all())
+    truncated = len(rows) >= max_edges
+    edges = sorted({(r["subj"], r["subj_label"], r["pred"], r["obj"],
+                     r["obj_label"]) for r in rows})
+    return edges, truncated
+
+
 def all_paths(out_dir: str, a: str, b: str, max_hops: int = 4,
-              max_paths: int = 5) -> list[dict]:
+              max_paths: int = 5, max_edges: int = 200_000) -> list[dict]:
     """Q5 bulk: every path (a)-[*..4]-(b) ORDER BY hops LIMIT max_paths
-    (path_reasoning.py:36-48 ALL_PATHS_QUERY)."""
+    (path_reasoning.py:36-48 ALL_PATHS_QUERY).
+
+    Hub fallback (VERDICT r4 #7): when the plain k-hop collection
+    truncates, re-collect with distance pruning — two distributed BFS
+    distance maps (from a, from b) plus one distance-filtered scan keep
+    exactly the edges that can lie on an a->b path of length <= max_hops
+    (provably complete, see _collect_path_edges), so enumeration stays
+    exact on hub graphs whose raw neighborhood overflows max_edges. Only
+    if even the path-relevant subgraph exceeds max_edges (an inherently
+    output-bound enumeration) does the result remain a deterministic
+    subset, now loudly logged."""
     if a == b:
         return []
-    # truncation residual (documented): all-paths ENUMERATION has no
-    # distributed fallback — on a truncated hub collection the result is
-    # a deterministic subset; exact shortest paths go through
-    # find_paths_from_seeds_multi's fallback instead
-    edges, _truncated = _collect_subgraph_edges(out_dir, [a], max_hops)
+    edges, truncated = _collect_subgraph_edges(out_dir, [a], max_hops,
+                                               max_edges=max_edges)
+    if truncated:
+        dist_a = _bfs_distances(out_dir, a, max_hops)
+        dist_b = _bfs_distances(out_dir, b, max_hops)
+        edges, still = _collect_path_edges(out_dir, dist_a, dist_b, max_hops,
+                                           max_edges=max_edges)
+        if still:
+            logger.warning(
+                "all_paths(%s, %s): even the distance-pruned path subgraph "
+                "exceeds max_edges — result is a deterministic subset", a, b)
     adj = _adjacency(edges)
     found = _enumerate_paths(adj, a, b, max_hops)
     found.sort(key=lambda t: (len(t[1]), t[0]))
@@ -536,22 +651,170 @@ def find_paths_from_seeds(out_dir: str, seed_keys: list[str], target_key: str,
                                        max_hops, limit)[target_key]
 
 
+def _constrained_paths_frontier(out_dir: str, seeds: list[str],
+                                max_hops: int, limit: int,
+                                max_partials: int = 50_000) -> list[dict]:
+    """Distributed constrained-path enumeration (VERDICT r4 #7): an
+    iterated frontier join carrying path-prefix state with per-hop
+    LIMIT-equivalent pruning — the fallback when the k-hop ball
+    collection truncates on a hub.
+
+    Level d holds the partial paths of length d on the driver (bounded
+    by max_partials). Each hop: broadcast the partials' endpoints (+ the
+    used (partial, edge) pairs for the no-repeated-relationship rule)
+    into one vectorized scan of the triples table; tasks join their
+    batch's clinical-predicate edges to the partials (a pandas hash
+    join), drop used edges, and pre-sort+cap per batch; a Dataset
+    sort().limit() keeps the globally smallest max_partials extensions
+    by node-chain order. Levels accumulate completed paths; the loop
+    stops as soon as `limit` paths exist, because every deeper path has
+    more hops and sorts after them (ORDER BY hops first). Exact whenever
+    no level's width exceeds max_partials — a per-LEVEL budget, vastly
+    wider than the edge cap the ball collection shares across all hops;
+    beyond it the result degrades to a loudly-logged deterministic
+    subset (the enumeration is output-bound by then)."""
+    import pandas as pd
+
+    from ..schemas import CLINICAL_LABELS, CLINICAL_PREDICATES
+
+    clin = set(CLINICAL_LABELS)
+    pred_arr = pa.array(sorted(CLINICAL_PREDICATES))
+    # partial: (nodes, labels, preds, edgekeys frozenset, interleaved key)
+    # — the key (n0, p1, n1, p2, ...) makes cap selection deterministic
+    # even among same-node-chain different-predicate extensions
+    partials = [((s,), ("",), (), frozenset(), s) for s in seeds]
+    results: list[dict] = []
+    seen: set[tuple] = set()
+    capped = False
+    for _level in range(1, max_hops + 1):
+        if len(results) >= limit or not partials:
+            break
+        end_arr = pa.array(sorted({p[0][-1] for p in partials}))
+        part_df = pd.DataFrame(
+            [(p[0][-1], pid, p[4]) for pid, p in enumerate(partials)],
+            columns=["endpoint", "pid", "prefix"])
+        used = {f"{pid}\x1f{ek}" for pid, p in enumerate(partials)
+                for ek in p[3]}
+
+        def extend(batch: pa.Table, end_arr=end_arr, part_df=part_df,
+                   used=used, cap=max_partials) -> pa.Table:
+            batch = batch.filter(pc.is_in(batch.column("pred"),
+                                          value_set=pred_arr))
+            out_parts = []
+            for ep_col, nb_col, epl_col, nbl_col in (
+                    ("subj", "obj", "subj_label", "obj_label"),
+                    ("obj", "subj", "obj_label", "subj_label")):
+                hit = batch.filter(pc.is_in(batch.column(ep_col),
+                                            value_set=end_arr))
+                if hit.num_rows == 0:
+                    continue
+                ek = pc.binary_join_element_wise(
+                    hit.column("subj").combine_chunks(),
+                    hit.column("pred").combine_chunks(),
+                    hit.column("obj").combine_chunks(), "\x1e")
+                df = pd.DataFrame({
+                    "endpoint": hit.column(ep_col).to_pylist(),
+                    "nb": hit.column(nb_col).to_pylist(),
+                    "ep_label": hit.column(epl_col).to_pylist(),
+                    "nb_label": hit.column(nbl_col).to_pylist(),
+                    "pred": hit.column("pred").to_pylist(),
+                    "edgekey": ek.to_pylist(),
+                })
+                out_parts.append(df.merge(part_df, on="endpoint"))
+            if not out_parts:
+                return pa.Table.from_pylist([], schema=_EXTENSION_SCHEMA)
+            df = pd.concat(out_parts, ignore_index=True)
+            if used and len(df):
+                pair = df["pid"].astype(str) + "\x1f" + df["edgekey"]
+                df = df[~pair.isin(used)]
+            if not len(df):
+                return pa.Table.from_pylist([], schema=_EXTENSION_SCHEMA)
+            df["sort_key"] = (df["prefix"] + "\x1f" + df["pred"]
+                              + "\x1f" + df["nb"])
+            df = df.sort_values("sort_key", kind="mergesort").head(cap)
+            return pa.Table.from_pandas(
+                df[["pid", "nb", "ep_label", "nb_label", "pred", "edgekey",
+                    "sort_key"]], preserve_index=False).cast(_EXTENSION_SCHEMA)
+
+        rows = (_read(out_dir, "triples",
+                      columns=["subj", "subj_label", "pred", "obj",
+                               "obj_label"])
+                .map_batches(extend, batch_format="pyarrow")
+                .sort("sort_key").limit(max_partials).take_all())
+        if len(rows) >= max_partials:
+            capped = True
+        nxt = []
+        for r in rows:
+            p = partials[r["pid"]]
+            labels = list(p[1])
+            if labels[0] == "":
+                labels[0] = r["ep_label"]  # seed label from its first edge
+            nodes = p[0] + (r["nb"],)
+            labels = tuple(labels) + (r["nb_label"],)
+            preds = p[2] + (r["pred"],)
+            nxt.append((nodes, labels, preds, p[3] | {r["edgekey"]},
+                        r["sort_key"]))
+        # completed paths at this level (same validity rules as the
+        # local enumerator): target != seed, >=1 clinical-label node,
+        # DISTINCT (target, nodes, preds)
+        for nodes, labels, preds, _ek, _key in nxt:
+            target = nodes[-1]
+            if target == nodes[0]:
+                continue
+            if not any(lb in clin for lb in labels):
+                continue
+            key = (target, nodes, preds)
+            if key in seen:
+                continue
+            seen.add(key)
+            results.append({
+                "target": target, "target_label": labels[-1],
+                "node_chain": list(nodes), "rel_chain": list(preds),
+                "hops": len(preds),
+            })
+        partials = nxt
+    if capped:
+        logger.warning(
+            "constrained-path frontier join exceeded max_partials=%d at "
+            "some level — result is a deterministic subset", max_partials)
+    results.sort(key=lambda r: (r["hops"], r["target"], r["node_chain"]))
+    return results[:limit]
+
+
+_EXTENSION_SCHEMA = pa.schema([
+    ("pid", pa.int64()),
+    ("nb", pa.string()),
+    ("ep_label", pa.string()),
+    ("nb_label", pa.string()),
+    ("pred", pa.string()),
+    ("edgekey", pa.string()),
+    ("sort_key", pa.string()),
+])
+
+
 def relationship_constrained_paths(out_dir: str, seed_keys: list[str],
-                                   max_hops: int = 3, limit: int = 50) -> pa.Table:
+                                   max_hops: int = 3, limit: int = 50,
+                                   max_edges: int = 200_000) -> pa.Table:
     """Q3 full semantics (relationship_filter.py:19-47): paths from the
     seeds along the 8 clinical predicates only, 1..max_hops, requiring
     >=1 clinical-label node on the path; DISTINCT (target, path) rows
-    ORDER BY length LIMIT `limit`, returning node + relationship chains."""
+    ORDER BY length LIMIT `limit`, returning node + relationship chains.
+
+    Hub fallback (VERDICT r4 #7): when the k-hop ball collection
+    truncates, enumeration switches to the distributed frontier join
+    (_constrained_paths_frontier) instead of silently returning a
+    subset of a truncated subgraph."""
     from ..schemas import CLINICAL_LABELS, CLINICAL_PREDICATES
 
     seeds = sorted(set(seed_keys))
     if not seeds:
         return pa.Table.from_pylist([], schema=_CONSTRAINED_PATH_SCHEMA)
-    # truncation residual (documented): like all_paths, constrained-path
-    # ENUMERATION over a truncated collection yields a deterministic
-    # subset; the predicate+label filters make hub blowups rare here
-    edges, _truncated = _collect_subgraph_edges(out_dir, seeds, max_hops,
-                                                predicates=CLINICAL_PREDICATES)
+    edges, truncated = _collect_subgraph_edges(out_dir, seeds, max_hops,
+                                               predicates=CLINICAL_PREDICATES,
+                                               max_edges=max_edges)
+    if truncated:
+        rows = _constrained_paths_frontier(out_dir, seeds, max_hops, limit)
+        return pa.Table.from_pylist(rows, schema=_CONSTRAINED_PATH_SCHEMA)
     labels: dict[str, str] = {}
     for s, sl, _p, o, ol in edges:
         labels.setdefault(s, sl)

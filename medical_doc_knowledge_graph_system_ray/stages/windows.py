@@ -74,12 +74,20 @@ def sliding_hourly_totals(ds, window_hours: int = 3):
     """Sliding event-time window over the hourly tumbling aggregate:
     per hour, the sum of (value, count) over [hour-(w-1)h, hour].
 
-    Two-level shape for scale: the distributed combiner-first tumbling
-    aggregate reduces the stream to O(distinct hours) rows; the sliding
-    roll-up then runs over that small series on the driver (documented
-    small side — a century of hours is <10^6 rows). Hour gaps are
-    respected (RANGE semantics: only hours inside the time window sum).
-    Returns a pandas DataFrame (hour, total_3h, n_3h ordered by hour)."""
+    Fully distributed (VERDICT r4 #5 replaced the driver hour-loop):
+    the combiner-first tumbling aggregate reduces the stream to
+    O(distinct hours) rows; each hourly row then fans out to the w
+    output hours it contributes to (a vectorized w-way expansion — the
+    self-join-on-hour-range expressed as flat map + re-aggregate), and a
+    second combiner-first groupby sums the contributions. Hour gaps are
+    respected (RANGE semantics: a missing hour contributes nothing, and
+    only hours present in the input emit an output row — the is_self
+    marker carries that through the shuffle). Rounding contract matches
+    the SQL oracle: hourly totals round to 4 before the window sum,
+    which rounds again. Returns a Dataset (hour, total_{w}h, n_{w}h)
+    sorted by hour."""
+    import datetime as _dt
+
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -94,18 +102,37 @@ def sliding_hourly_totals(ds, window_hours: int = 3):
     hourly = preagg_sum_count(
         ds.map_batches(add_hour, batch_format="pyarrow"),
         ["hour"], ["value"], "n",
-    ).to_pandas().rename(columns={"value": "total"}).sort_values("hour")
-    hourly["total"] = hourly["total"].round(4)
-    totals = dict(zip(hourly["hour"], hourly["total"]))
-    counts = dict(zip(hourly["hour"], hourly["n"]))
-    out_total, out_n = [], []
-    for h in hourly["hour"]:
-        window = [h - pd.Timedelta(hours=k) for k in range(window_hours)]
-        out_total.append(round(sum(totals.get(w, 0.0) for w in window), 4))
-        out_n.append(int(sum(counts.get(w, 0) for w in window)))
-    return pd.DataFrame({"hour": hourly["hour"].values,
-                         f"total_{window_hours}h": out_total,
-                         f"n_{window_hours}h": out_n}).reset_index(drop=True)
+    )
+
+    def expand(batch: pa.Table) -> pa.Table:
+        total = pc.round(batch.column("value"), 4)
+        n = batch.column("n")
+        parts = []
+        for k in range(window_hours):
+            parts.append(pa.table({
+                "hour": pc.add(batch.column("hour"),
+                               pa.scalar(_dt.timedelta(hours=k))),
+                "total": total,
+                "n_ev": n,
+                "is_self": pa.array([1 if k == 0 else 0] * batch.num_rows,
+                                    type=pa.int64()),
+            }))
+        return pa.concat_tables(parts)
+
+    out = preagg_sum_count(
+        hourly.map_batches(expand, batch_format="pyarrow"),
+        ["hour"], ["total", "n_ev", "is_self"], "__contribs",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch.column("is_self"), 0))
+        return pa.table({
+            "hour": batch.column("hour"),
+            f"total_{window_hours}h": pc.round(batch.column("total"), 4),
+            f"n_{window_hours}h": pc.cast(batch.column("n_ev"), pa.int64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow").sort("hour")
 
 
 def grouped_topk(ds, group_col: str, key_col: str, value_col: str, k: int = 3):
