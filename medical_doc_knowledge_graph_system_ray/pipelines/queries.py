@@ -716,6 +716,140 @@ def q_embedding_neardup_lsh(sf_dir: str):
             .sort_values(["a", "b"]).reset_index(drop=True))
 
 
+def q_events_daily_users(sf_dir: str):
+    """Distinct-count aggregate (round 5): daily active users via a
+    combiner-first distinct — per-batch (day, user_id) dedup, one global
+    groupby making the pair set distinct, then an O(days) count roll-up.
+    n_events rides a separate combiner aggregate; the two O(days)
+    results merge driver-side (documented small side)."""
+    from ..stages.aggregates import preagg_sum_count
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": pc.floor_temporal(batch.column("ts"), unit="day"),
+            "user_id": batch.column("user_id"),
+        })
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        return batch.group_by(["day", "user_id"],
+                              use_threads=False).aggregate([])
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+    pairs = (ds.map_batches(add_day, batch_format="pyarrow")
+             .map_batches(distinct_pairs, batch_format="pyarrow")
+             .groupby(["day", "user_id"]).count()
+             .map_batches(lambda t: t.select(["day"]),
+                          batch_format="pyarrow"))
+    users = preagg_sum_count(pairs, ["day"], [], "n_users").to_pandas()
+    events = preagg_sum_count(
+        ds.map_batches(add_day, batch_format="pyarrow"),
+        ["day"], [], "n_events").to_pandas()
+    out = users.merge(events, on="day")
+    out["n_users"] = out["n_users"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return (out[["day", "n_users", "n_events"]]
+            .sort_values("day").reset_index(drop=True))
+
+
+def q_supplier_region_acctbal(sf_dir: str):
+    """Three-way broadcast join + aggregate (round 5): supplier ⋈ nation
+    ⋈ region with the two dim tables shipped once via ray.put, then a
+    combiner-first (region) mean/count."""
+    from ..stages.aggregates import preagg_sum_count
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")
+    lookup = dict(zip(dim["n_nationkey"], dim["r_name"]))
+    ref = ray.put(lookup)
+
+    class AddRegion:
+        def __init__(self):
+            lookup = ray.get(ref)
+            self.keys = pa.array(list(lookup.keys()))
+            self.vals = pa.array(list(lookup.values()), type=pa.string())
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            idx = pc.index_in(batch.column("s_nationkey"), value_set=self.keys)
+            return pa.table({"region": pc.take(self.vals, idx),
+                             "s_acctbal": batch.column("s_acctbal")})
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                          columns=["s_nationkey", "s_acctbal"])
+          .map_batches(AddRegion, batch_format="pyarrow", concurrency=2))
+    out = preagg_sum_count(ds, ["region"], ["s_acctbal"],
+                           "n_suppliers").to_pandas()
+    out["avg_acctbal"] = (out["s_acctbal"] / out["n_suppliers"]).round(4)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return (out[["region", "avg_acctbal", "n_suppliers"]]
+            .sort_values("region").reset_index(drop=True))
+
+
+def q_orders_priority_monthly(sf_dir: str):
+    """Multi-key temporal rollup (round 5): month x priority combiner
+    aggregate over orders."""
+    from ..stages.aggregates import preagg_sum_count
+
+    def add_month(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "month": pc.floor_temporal(batch.column("o_orderdate"),
+                                       unit="month"),
+            "priority": batch.column("o_orderpriority"),
+            "o_totalprice": batch.column("o_totalprice"),
+        })
+
+    ds = (rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                          columns=["o_orderdate", "o_orderpriority",
+                                   "o_totalprice"])
+          .map_batches(add_month, batch_format="pyarrow"))
+    out = preagg_sum_count(ds, ["month", "priority"], ["o_totalprice"],
+                           "n_orders").to_pandas()
+    out["revenue"] = out["o_totalprice"].round(4)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return (out[["month", "priority", "n_orders", "revenue"]]
+            .sort_values(["month", "priority"]).reset_index(drop=True))
+
+
+def q_signup_no_big_purchase_users(sf_dir: str):
+    """Broadcast anti-join (round 5): signup users with NO purchase of
+    value > 95. The anti side is collected distinct (bounded by distinct
+    users, the documented small side) and broadcast via ray.put; the
+    signup scan filters with a vectorized NOT is_in — no shuffle."""
+    def big_purchasers(batch: pa.Table) -> pa.Table:
+        m = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
+                    pc.greater(batch.column("value"), 95.0))
+        return batch.filter(m).select(["user_id"]) \
+            .group_by("user_id", use_threads=False).aggregate([])
+
+    ds_anti = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "event_type", "value"])
+               .map_batches(big_purchasers, batch_format="pyarrow"))
+    anti_users = {r["user_id"] for r in
+                  ds_anti.groupby("user_id").count().take_all()}
+    err_ref = ray.put(pa.array(sorted(anti_users), type=pa.int64()))
+
+    class Anti:
+        def __init__(self):
+            self.errs = ray.get(err_ref)  # once per actor, not per batch
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keep = pc.invert(pc.is_in(batch.column("user_id"),
+                                      value_set=self.errs))
+            return batch.filter(keep).select(["user_id"]) \
+                .group_by("user_id", use_threads=False).aggregate([])
+
+    out = (rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                           columns=["user_id", "event_type"])
+           .filter(expr="event_type == 'signup'")
+           .map_batches(Anti, batch_format="pyarrow", concurrency=2)
+           .groupby("user_id").count()
+           .to_pandas())
+    if "user_id" not in out.columns:  # empty result loses its schema
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64")})
+    return (out[["user_id"]].sort_values("user_id").reset_index(drop=True))
+
+
 QUERIES = {
     # knowledge-graph construction path (oracle-checked in pytest)
     "kg_triples": q_kg_triples,
@@ -761,6 +895,12 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "doc_fingerprints": q_doc_fingerprints,
+    # round-5 additions: distinct-count, 3-way broadcast join + avg,
+    # multi-key temporal rollup, broadcast anti-join
+    "events_daily_users": q_events_daily_users,
+    "supplier_region_acctbal": q_supplier_region_acctbal,
+    "orders_priority_monthly": q_orders_priority_monthly,
+    "signup_no_big_purchase_users": q_signup_no_big_purchase_users,
 }
 
 ORACLE_SQL = {
@@ -910,5 +1050,30 @@ ORACLE_SQL = {
         "round(sum(l_extendedprice * (1 - l_discount)), 3) AS sum_disc_price, "
         "round(avg(l_quantity), 3) AS avg_qty, count(*) AS count_order "
         "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"
+    ),
+    "events_daily_users": (
+        "SELECT date_trunc('day', ts) AS day, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(count(*) AS BIGINT) AS n_events "
+        "FROM events GROUP BY 1 ORDER BY day"
+    ),
+    "supplier_region_acctbal": (
+        "SELECT r_name AS region, round(avg(s_acctbal), 4) AS avg_acctbal, "
+        "CAST(count(*) AS BIGINT) AS n_suppliers "
+        "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY 1 ORDER BY region"
+    ),
+    "orders_priority_monthly": (
+        "SELECT date_trunc('month', o_orderdate) AS month, "
+        "o_orderpriority AS priority, "
+        "CAST(count(*) AS BIGINT) AS n_orders, "
+        "round(sum(o_totalprice), 4) AS revenue "
+        "FROM orders GROUP BY 1, 2 ORDER BY month, priority"
+    ),
+    "signup_no_big_purchase_users": (
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'signup' "
+        "AND user_id NOT IN (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'purchase' AND value > 95) ORDER BY user_id"
     ),
 }
