@@ -219,3 +219,44 @@ def test_bounded_dag_fanin_is_byte_identical(ray_session, docs_on_disk):
     for table in ("triples", "entities", "mentions", "chunks", "spans",
                   "extraction"):
         assert _dir_digest(out_a, table) == _dir_digest(out_b, table), table
+
+
+def test_fanin_mode_interrupted_run_resumes_byte_identical(ray_session,
+                                                           docs_on_disk):
+    """Kill/restart under the bounded fan-in DAG mode: a crash after
+    partial extraction must resume through the staged fallback and still
+    match the direct-mode reference byte-for-byte."""
+    import dataclasses
+
+    docs_path, cfg, root = docs_on_disk
+
+    out_a = os.path.join(root, "out_a")  # direct-mode reference (complete)
+    if not os.path.isdir(os.path.join(out_a, "triples")):
+        IngestPipeline(docs_path, cfg, output_dir=out_a).run()
+
+    cfg_b = dataclasses.replace(cfg, dag_direct_max_objects=0)
+    out_c = os.path.join(root, "out_fanin_kill")
+    pipe = IngestPipeline(docs_path, cfg_b, output_dir=out_c)
+
+    class Killed(RuntimeError):
+        pass
+
+    orig_commit = pipe.manifest.commit
+    count = {"n": 0}
+
+    def commit_then_die(unit, payload):
+        orig_commit(unit, payload)
+        count["n"] += 1
+        if count["n"] == 3:
+            raise Killed()
+
+    pipe.manifest.commit = commit_then_die
+    with pytest.raises(Killed):
+        pipe.run()
+
+    pipe2 = IngestPipeline(docs_path, cfg_b, output_dir=out_c)
+    assert any(u.startswith("extraction_shard_")
+               for u in pipe2.manifest.all_units())
+    pipe2.run()
+    for table in ("triples", "entities", "mentions", "chunks", "spans"):
+        assert _dir_digest(out_a, table) == _dir_digest(out_c, table), table
