@@ -815,7 +815,13 @@ def q_signup_no_big_purchase_users(sf_dir: str):
     """Broadcast anti-join (round 5): signup users with NO purchase of
     value > 95. The anti side is collected distinct (bounded by distinct
     users, the documented small side) and broadcast via ray.put; the
-    signup scan filters with a vectorized NOT is_in — no shuffle."""
+    signup scan filters with a vectorized NOT is_in — no shuffle.
+    Beyond-driver-memory anti sides swap the exact set for a Bloom
+    filter (functions/bloom.BloomFilter, the ingest J2 'bloom' mode) —
+    NOTE: for anti-join semantics a Bloom filter's false positives drop
+    matching rows, so the at-scale exact path is the bucketed
+    co-partitioned check (materialize.bucketed_dangling_filter_write's
+    shape), not the Bloom swap."""
     def big_purchasers(batch: pa.Table) -> pa.Table:
         m = pc.and_(pc.equal(batch.column("event_type"), "purchase"),
                     pc.greater(batch.column("value"), 95.0))
