@@ -427,12 +427,18 @@ def _enumerate_paths(adj, start: str, goal: str | None, max_hops: int,
 
 def _bfs_distances(out_dir: str, src: str, max_hops: int,
                    max_frontier: int = 200_000,
-                   predicates: tuple[str, ...] | None = None) -> dict[str, int]:
+                   predicates: tuple[str, ...] | None = None):
     """Distributed hop-distance map from `src` (undirected), the distance
     analog of _bfs_parents_multi: each hop is one vectorized is_in scan
     of the triples table whose tasks emit only their batch's DISTINCT
     unvisited neighbor nodes — a hub's raw edge list never reaches the
-    driver, only its O(nodes) neighbor set (capped at max_frontier)."""
+    driver, only its O(nodes) neighbor set (capped at max_frontier).
+
+    Returns (dist, truncated): a hop whose DISTINCT-node collection came
+    back full may have dropped nodes (their distance reads as infinity
+    downstream), so callers relying on the distance-pruning completeness
+    proof must treat a truncated map as a deterministic subset."""
+    truncated = False
     dist = {src: 0}
     frontier = {src}
     pred_arr = pa.array(sorted(predicates)) if predicates is not None else None
@@ -463,11 +469,13 @@ def _bfs_distances(out_dir: str, src: str, max_hops: int,
             # global distinct so the cap measures DISTINCT nodes
             rows = (ds.map_batches(hop_nodes, batch_format="pyarrow")
                     .groupby("to").count().limit(max_frontier).take_all())
+            if len(rows) >= max_frontier:
+                truncated = True
         nxt = {r["to"] for r in rows} - dist.keys()
         for n in sorted(nxt):
             dist[n] = d
         frontier = nxt
-    return dist
+    return dist, truncated
 
 
 def _collect_path_edges(out_dir: str, dist_a: dict[str, int],
@@ -540,14 +548,15 @@ def all_paths(out_dir: str, a: str, b: str, max_hops: int = 4,
     edges, truncated = _collect_subgraph_edges(out_dir, [a], max_hops,
                                                max_edges=max_edges)
     if truncated:
-        dist_a = _bfs_distances(out_dir, a, max_hops)
-        dist_b = _bfs_distances(out_dir, b, max_hops)
+        dist_a, ta = _bfs_distances(out_dir, a, max_hops)
+        dist_b, tb = _bfs_distances(out_dir, b, max_hops)
         edges, still = _collect_path_edges(out_dir, dist_a, dist_b, max_hops,
                                            max_edges=max_edges)
-        if still:
+        if still or ta or tb:
             logger.warning(
-                "all_paths(%s, %s): even the distance-pruned path subgraph "
-                "exceeds max_edges — result is a deterministic subset", a, b)
+                "all_paths(%s, %s): the distance-pruned path subgraph "
+                "itself overflowed a cap (edges=%s, dist_a=%s, dist_b=%s) "
+                "— result is a deterministic subset", a, b, still, ta, tb)
     adj = _adjacency(edges)
     found = _enumerate_paths(adj, a, b, max_hops)
     found.sort(key=lambda t: (len(t[1]), t[0]))

@@ -59,8 +59,9 @@ def test_all_paths_distance_pruned_collection_is_exact(ray_session,
     assert not trunc  # ground truth is complete
     local = qs._enumerate_paths(qs._adjacency(full), a, b, H)
 
-    dist_a = qs._bfs_distances(d, a, H)
-    dist_b = qs._bfs_distances(d, b, H)
+    dist_a, ta = qs._bfs_distances(d, a, H)
+    dist_b, tb = qs._bfs_distances(d, b, H)
+    assert not ta and not tb
     pruned, trunc2 = qs._collect_path_edges(d, dist_a, dist_b, H)
     assert not trunc2
     assert set(pruned) <= set(full)
