@@ -622,11 +622,10 @@ class IngestPipeline:
             hash_rec.get("id") != cur_hash if hash_rec is not None
             else bool(self.manifest.all_units())
         )
-        if hash_rec is None or hash_stale:
-            import pandas as pd
-
-            self.manifest.commit("bucket_hash", {
-                "id": cur_hash, "pandas": pd.__version__})
+        # NOTE: the new identity is committed at the END of this method,
+        # AFTER the stale sweep — committing it first would open a crash
+        # window where a half-wiped tree resumes under a matching hash
+        # and reuses shards bucketed under the old one.
         stale = []
         for s in range(cfg.num_shards):
             if hash_stale:
@@ -662,6 +661,7 @@ class IngestPipeline:
             if lin.get("input") != self.docs_path or lin.get("files") != files:
                 doc_stale = True
         if not stale and not doc_stale:
+            self._commit_bucket_hash(hash_rec, cur_hash)
             return
         for s, unit in stale:
             self.manifest.invalidate(unit)
@@ -680,6 +680,17 @@ class IngestPipeline:
                 shutil.rmtree(p)
             elif os.path.isfile(p):
                 os.remove(p)
+        self._commit_bucket_hash(hash_rec, cur_hash)
+
+    def _commit_bucket_hash(self, hash_rec: dict | None, cur_hash: str) -> None:
+        """Record the current bucket-hash identity — only after any stale
+        sweep has completed, so a crash mid-sweep resumes under the OLD
+        (mismatching) record and re-triggers the sweep."""
+        if hash_rec is None or hash_rec.get("id") != cur_hash:
+            import pandas as pd
+
+            self.manifest.commit("bucket_hash", {
+                "id": cur_hash, "pandas": pd.__version__})
 
     def _names_sidecar(self, shard: int) -> str:
         """Per-shard distinct-name sidecar parquet (underscore dir: not

@@ -698,15 +698,21 @@ def _constrained_paths_frontier(out_dir: str, seeds: list[str],
     for _level in range(1, max_hops + 1):
         if len(results) >= limit or not partials:
             break
+        import ray
+
         end_arr = pa.array(sorted({p[0][-1] for p in partials}))
         part_df = pd.DataFrame(
             [(p[0][-1], pid, p[4]) for pid, p in enumerate(partials)],
             columns=["endpoint", "pid", "prefix"])
         used = {f"{pid}\x1f{ek}" for pid, p in enumerate(partials)
                 for ek in p[3]}
+        # partial state rides the OBJECT STORE, not each map task's spec
+        # (at the cap it is tens of MB; in-spec it would ship per block)
+        state_ref = ray.put((end_arr, part_df, used))
 
-        def extend(batch: pa.Table, end_arr=end_arr, part_df=part_df,
-                   used=used, cap=max_partials) -> pa.Table:
+        def extend(batch: pa.Table, state_ref=state_ref,
+                   cap=max_partials) -> pa.Table:
+            end_arr, part_df, used = ray.get(state_ref)
             batch = batch.filter(pc.is_in(batch.column("pred"),
                                           value_set=pred_arr))
             out_parts = []
